@@ -1,0 +1,334 @@
+"""Vectorized Hex, TPU-native.
+
+Reference counterpart: boardlaw/hex/__init__.py + boardlaw/hex/cpp/{cpu.cpp,cuda.cu}.
+
+The reference's key insight is kept (hex/cpp/cuda.cu:8-16): the board itself
+stores *edge-connectivity labels*. Cells are one of
+
+    EMPTY, BLACK, WHITE, TOP, BOT, LEFT, RIGHT
+
+where TOP/BOT mark black groups connected to the top/bottom edge and
+LEFT/RIGHT mark white groups connected to the left/right edge. A move then
+only needs to inspect its 6 hex neighbours to detect a win (both own edges
+adjacent), and relabel the just-placed group — O(neighbourhood) win detection.
+
+Where the reference walks a BFS queue per env in CUDA (one thread per board,
+hex/cpp/cuda.cu:18-74), here the flood is a *batched masked dilation* under a
+single `lax.while_loop`: all envs flood in lockstep as (B,S,S) boolean VPU ops,
+iterating until no env's frontier grows. No host round-trips, no per-env
+control flow — the whole `step` is one fused XLA program.
+
+Seat frames: white sees the board transposed (both players "connect
+top-to-bottom" in their own frame), so white's actions and observations are
+mirrored exactly as in the reference (hex/cpp/cpu.cpp:83, :169-183).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .base import Masked, Tensor, Transition
+from .. import utils
+
+EMPTY, BLACK, WHITE, TOP, BOT, LEFT, RIGHT = range(7)
+
+CHARS = ".bwTBLR"
+ORDS = {c: i for i, c in enumerate(CHARS)}
+
+# The six hex-grid neighbour offsets (row, col) — hex/cpp/cpu.cpp:18.
+NEIGHBOURS = ((-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0))
+
+# Cell labels owned by each colour: black groups may be BLACK/TOP/BOT,
+# white groups WHITE/LEFT/RIGHT (hex/cpp/cpu.cpp:156-162).
+_COLORMAP = np.full(7, 2, dtype=np.uint8)
+_COLORMAP[[BLACK, TOP, BOT]] = 0
+_COLORMAP[[WHITE, LEFT, RIGHT]] = 1
+
+
+def _neighbour_values(board, row, col):
+    """Values of the 6 neighbours of (row, col) per env, with virtual edge
+    labels for off-board neighbours: r<0 -> TOP, r>=S -> BOT, c<0 -> LEFT,
+    c>=S -> RIGHT (hex/cpp/cpu.cpp:94-103).
+
+    board: (B, S, S) uint8; row/col: (B,) int32. Returns (B, 6) int32.
+    """
+    S = board.shape[-1]
+    B = board.shape[0]
+    envs = jnp.arange(B)
+    vals = []
+    for dr, dc in NEIGHBOURS:
+        r = row + dr
+        c = col + dc
+        on = board[envs, jnp.clip(r, 0, S - 1), jnp.clip(c, 0, S - 1)].astype(jnp.int32)
+        v = jnp.where(r < 0, TOP,
+            jnp.where(r >= S, BOT,
+            jnp.where(c < 0, LEFT,
+            jnp.where(c >= S, RIGHT, on))))
+        vals.append(v)
+    return jnp.stack(vals, -1)
+
+
+def _dilate(frontier):
+    """One step of 6-neighbour hex dilation of a (B, S, S) boolean mask."""
+    p = jnp.pad(frontier, ((0, 0), (1, 1), (1, 1)))
+    out = frontier
+    for dr, dc in NEIGHBOURS:
+        # A cell is reached if its (dr,dc)-neighbour is in the frontier.
+        out = out | p[:, 1 - dr : p.shape[1] - 1 - dr, 1 - dc : p.shape[2] - 1 - dc]
+    return out
+
+
+def _flood(board, row, col, new_val):
+    """Relabel the same-coloured connected group containing (row, col) with
+    ``new_val`` wherever ``new_val`` is an edge label (>= TOP); no-op envs keep
+    their board (hex/cpp/cpu.cpp:15-68, batched).
+
+    board: (B,S,S) uint8 with the stone already placed at (row, col).
+    """
+    B, S, _ = board.shape
+    envs = jnp.arange(B)
+    old_val = board[envs, row, col]  # BLACK or WHITE, just placed
+    own = board == old_val[:, None, None]
+    active = (new_val >= TOP)[:, None, None]
+
+    seed = jnp.zeros((B, S, S), bool).at[envs, row, col].set(True)
+
+    def body(frontier):
+        return _dilate(frontier) & own
+
+    def cond(carry):
+        frontier, grew = carry
+        return grew
+
+    def step(carry):
+        frontier, _ = carry
+        nxt = body(frontier) | frontier
+        grew = (nxt != frontier).any()
+        return nxt, grew
+
+    frontier, _ = jax.lax.while_loop(cond, step, (seed & own, jnp.array(True)))
+    return jnp.where(frontier & active, new_val[:, None, None].astype(board.dtype), board)
+
+
+def _step_boards(board, seats, actions):
+    """Core transition: place a stone, detect wins, flood edge labels.
+
+    board: (B,S,S) uint8; seats: (B,) int; actions: (B,) int flat indices in
+    the *acting player's frame*. Returns (new_board, rewards (B,2) f32).
+
+    Mirrors hex/cpp/cpu.cpp:70-130 exactly (behaviour, not structure).
+    """
+    S = board.shape[-1]
+    B = board.shape[0]
+    envs = jnp.arange(B)
+    seats = seats.astype(jnp.int32)
+    actions = actions.astype(jnp.int32)
+
+    # White plays in the transposed frame.
+    row = jnp.where(seats == 0, actions // S, actions % S)
+    col = jnp.where(seats == 0, actions % S, actions // S)
+
+    nv = _neighbour_values(board, row, col)
+    adj_top = (nv == TOP).any(-1)
+    adj_bot = (nv == BOT).any(-1)
+    adj_left = (nv == LEFT).any(-1)
+    adj_right = (nv == RIGHT).any(-1)
+
+    black = seats == 0
+    win = jnp.where(black, adj_top & adj_bot, adj_left & adj_right)
+    black_reward = jnp.where(black, 1.0, -1.0) * win
+    rewards = jnp.stack([black_reward, -black_reward], -1).astype(jnp.float32)
+
+    new_val = jnp.where(
+        black,
+        jnp.where(adj_top, TOP, jnp.where(adj_bot, BOT, BLACK)),
+        jnp.where(adj_left, LEFT, jnp.where(adj_right, RIGHT, WHITE)),
+    ).astype(board.dtype)
+
+    stone = jnp.where(black, BLACK, WHITE).astype(board.dtype)
+    board = board.at[envs, row, col].set(stone)
+    board = _flood(board, row, col, new_val)
+    return board, rewards
+
+
+def _observe(board, seats):
+    """Render (B,S,S,2) float one-hot planes in the current player's frame:
+    plane 0 = current player's stones, plane 1 = opponent's. White sees the
+    transposed board with planes swapped (hex/cpp/cpu.cpp:145-183)."""
+    colors = jnp.asarray(_COLORMAP)[board]  # (B,S,S) in {0,1,2}
+    flip = (seats == 1)[:, None, None]
+    sel = jnp.where(flip, jnp.swapaxes(colors, -1, -2), colors)
+    own = jnp.where(flip, sel == 1, sel == 0)
+    opp = jnp.where(flip, sel == 0, sel == 1)
+    return jnp.stack([own, opp], -1).astype(jnp.float32)
+
+
+class Hex(struct.PyTreeNode):
+    """Two-player Hex world. Black (seat 0) connects top-bottom; white
+    (seat 1) connects left-right; black moves first (as per OpenSpiel
+    convention, reference hex/__init__.py:124)."""
+
+    board: jnp.ndarray  # (n_envs, S, S) uint8 cell labels
+    seats: jnp.ndarray  # (n_envs,) int32 current seat per env
+
+    @classmethod
+    def initial(cls, n_envs, boardsize=11):
+        return cls(
+            board=jnp.zeros((n_envs, boardsize, boardsize), jnp.uint8),
+            seats=jnp.zeros((n_envs,), jnp.int32),
+        )
+
+    # -- static metadata ---------------------------------------------------
+    @property
+    def n_envs(self):
+        return self.board.shape[0]
+
+    @property
+    def boardsize(self):
+        return self.board.shape[-1]
+
+    @property
+    def n_seats(self):
+        return 2
+
+    @property
+    def obs_space(self):
+        return Tensor((self.boardsize, self.boardsize, 2))
+
+    @property
+    def action_space(self):
+        return Masked(self.boardsize * self.boardsize)
+
+    # -- observations ------------------------------------------------------
+    @property
+    def obs(self):
+        return _observe(self.board, self.seats)
+
+    @property
+    def valid(self):
+        # A cell is playable iff empty; in the acting player's frame
+        # (reference computes this from obs, hex/__init__.py:155-159).
+        empty = self.board == EMPTY
+        flip = (self.seats == 1)[:, None, None]
+        sel = jnp.where(flip, jnp.swapaxes(empty, -1, -2), empty)
+        return sel.reshape(self.n_envs, -1)
+
+    # -- dynamics ----------------------------------------------------------
+    def step(self, actions, reset=True):
+        """Step every env with a flat action in the acting player's frame.
+        Terminal envs are auto-reset (board cleared, black to move) and
+        flagged in the returned Transition (hex/__init__.py:161-195).
+
+        actions may also be (n_envs, 2) row/col pairs.
+        """
+        if actions.ndim == 2:
+            actions = actions[:, 0] * self.boardsize + actions[:, 1]
+
+        new_board, rewards = _step_boards(self.board, self.seats, actions)
+        terminal = (rewards > 0).any(-1) if reset else jnp.zeros((self.n_envs,), bool)
+
+        new_board = jnp.where(terminal[:, None, None], jnp.uint8(EMPTY), new_board)
+        new_seats = jnp.where(terminal, 0, 1 - self.seats).astype(self.seats.dtype)
+
+        world = self.replace(board=new_board, seats=new_seats)
+        return world, Transition(terminal=terminal, rewards=rewards)
+
+    # -- display -----------------------------------------------------------
+    def render(self, e=0):
+        """ASCII board: '.' empty, 'b/w' stones, 'T/B/L/R' edge-labelled."""
+        rows = np.asarray(self.board[e])
+        return "\n".join("".join(CHARS[v] for v in row) for row in rows)
+
+
+class Solitaire(Hex):
+    """One-player Hex: the opponent is auto-played by `_play` after every
+    move until it's the protagonist's turn again (hex/__init__.py:224-253)."""
+
+    @classmethod
+    def initial(cls, n_envs, boardsize=11, seat=0):
+        if seat == 1:
+            raise ValueError("seat #1 is not supported")
+        return super().initial(n_envs, boardsize)
+
+    @property
+    def n_seats(self):
+        return 1
+
+    def _play(self, world, key):
+        raise NotImplementedError
+
+    def step(self, actions, key=None):
+        world, transition = Hex.step(self, actions)
+        rewards = transition.rewards
+        terminal = transition.terminal
+
+        # The opponent's turn comes up exactly when the protagonist's move did
+        # not end the game (auto-reset returns the seat to the protagonist).
+        stepped, tr = self._play(world, key)
+        needs = world.seats != self.seats
+        world = utils.where(needs, stepped, world)
+        rewards = rewards + jnp.where(needs[:, None], tr.rewards, 0.0)
+        terminal = terminal | (needs & tr.terminal)
+        envs = jnp.arange(self.n_envs)
+        my_rewards = rewards[envs, self.seats][:, None]
+        return world, Transition(terminal=terminal, rewards=my_rewards)
+
+
+class Lazy(Solitaire):
+    """Opponent plays the first available action (hex/__init__.py:255-263)."""
+
+    def _play(self, world, key):
+        valid = world.valid
+        n_actions = valid.shape[1]
+        idx = jnp.where(valid, jnp.arange(n_actions)[None, :], n_actions)
+        return Hex.step(world, idx.min(-1))
+
+
+class Random(Solitaire):
+    """Opponent plays a uniform random valid action (hex/__init__.py:265-271)."""
+
+    def _play(self, world, key):
+        logits = jnp.where(world.valid, 0.0, -jnp.inf)
+        actions = jax.random.categorical(key, logits, axis=-1)
+        return Hex.step(world, actions)
+
+
+# -- test/analysis helpers -------------------------------------------------
+
+def board_size(s):
+    return len(_strip(s).splitlines())
+
+
+def _strip(s):
+    return "\n".join(l.strip() for l in s.splitlines() if l.strip())
+
+
+def board_actions(s):
+    """Recover an alternating black/white action sequence from an ASCII board
+    of 'b'/'w'/'.' cells (reference hex/tests.py:96-119). White's actions are
+    emitted in white's (transposed) frame."""
+    size = board_size(s)
+    grid = np.array([list(l) for l in _strip(s).splitlines()])
+    bs = np.argwhere(grid == "b")
+    ws = np.argwhere(grid == "w")
+    assert len(bs) - len(ws) in {0, 1}
+
+    actions = []
+    for i in range(len(ws)):
+        actions.append([bs[i, 0], bs[i, 1]])
+        actions.append([ws[i, 1], ws[i, 0]])
+    if len(ws) < len(bs):
+        actions.append([bs[-1, 0], bs[-1, 1]])
+    return np.array(actions, dtype=np.int32)
+
+
+def from_string(s):
+    """Build a 1-env world by replaying the moves of an ASCII board."""
+    world = Hex.initial(n_envs=1, boardsize=board_size(s))
+    step = jax.jit(lambda w, a: w.step(a))
+    for a in board_actions(s):
+        world, _ = step(world, jnp.asarray(a)[None])
+    return world
