@@ -1,0 +1,282 @@
+"""MCTS tests — ports of the reference suite (boardlaw/mcts/tests.py).
+
+Strategy (SURVEY.md §4.1-4.2): hand-built tiny trees fed straight to the
+descend/root/backup primitives with *stochastic assertions* (empirical action
+distributions over 1024 replicated envs vs analytic probabilities, 3-sigma
+binomial CIs), plus full searches on synthetic games with planted exact
+values via ProxyAgent.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from boardlaw_tpu import mcts as M
+from boardlaw_tpu.envs import hex, validation
+
+
+def make_tree(logits, w, n, c_puct, seats, terminal, children, n_envs=1024):
+    """Build a Tree whose per-node arrays are the given (T, ...) tensors
+    replicated across n_envs (mirrors the reference's
+    `data.cuda()[None].repeat_interleave(1024, 0)` pattern)."""
+    logits = np.asarray(logits, np.float32)
+    T, A = logits.shape
+    w = np.asarray(w, np.float32)
+    S = w.shape[-1]
+
+    def rep(x):
+        x = jnp.asarray(x)
+        return jnp.broadcast_to(x[None], (n_envs,) + x.shape)
+
+    # parents/relation/worlds/rewards/v unused by descend/root
+    return M.Tree(
+        children=rep(np.asarray(children, np.int32)),
+        parents=rep(np.full((T,), -1, np.int32)),
+        relation=rep(np.full((T,), -1, np.int32)),
+        worlds=None,
+        seats=rep(np.asarray(seats, np.int32)),
+        terminal=rep(np.asarray(terminal, bool)),
+        rewards=rep(np.zeros((T, S), np.float32)),
+        logits=rep(logits),
+        v=rep(np.zeros((T, S), np.float32)),
+        n=rep(np.asarray(n, np.int32)),
+        w=rep(w),
+        c_puct=jnp.full((n_envs,), c_puct, jnp.float32),
+        sim=jnp.array(T, jnp.int32),
+    )
+
+
+def assert_distribution(xs, freqs):
+    # reference mcts/tests.py:28-32
+    xs = np.asarray(xs)
+    for i, freq in enumerate(freqs):
+        actual = (xs == i).mean()
+        # 3-sigma binomial CI with a 3-count floor: "expected 0" bins really
+        # have tiny positive probability (lambda*pi/(alpha-q) never vanishes
+        # for valid actions), in this implementation and the reference alike.
+        ci = max(3 * (freq * (1 - freq) / len(xs)) ** 0.5, 3 / len(xs))
+        assert abs(actual - freq) <= ci, f"expected {freq:.2f}±{ci:.2f} at {i}, got {actual:.2f}"
+
+
+def run_descend(tree, seed=0):
+    B, T, _ = tree.children.shape
+    rands = jax.random.uniform(jax.random.PRNGKey(seed), (B, T))
+    return jax.jit(M.descend)(tree, rands)
+
+
+def test_root_one_node():
+    tree = make_tree(
+        logits=np.log([[1 / 3, 2 / 3]]),
+        w=[[0.0]],
+        n=[0],
+        c_puct=1.0,
+        seats=[0],
+        terminal=[False],
+        children=[[-1, -1]],
+    )
+    r = jax.jit(M.root)(tree)
+    probs = np.exp(np.asarray(r["logits"]))
+    np.testing.assert_allclose(probs, np.tile([1 / 3, 2 / 3], (1024, 1)), rtol=2e-3, atol=2e-3)
+
+
+def test_descend_one_node():
+    tree = make_tree(
+        logits=np.log([[1 / 3, 2 / 3]]),
+        w=[[0.0]],
+        n=[0],
+        c_puct=1.0,
+        seats=[0],
+        terminal=[False],
+        children=[[-1, -1]],
+    )
+    parents, actions = run_descend(tree)
+    assert_distribution(parents, [1])
+    assert_distribution(actions, [1 / 3, 2 / 3])
+
+
+def _three_node_data(c_puct, terminal=(False, False, False)):
+    return dict(
+        logits=np.log([[1 / 3, 2 / 3], [1 / 4, 3 / 4], [1 / 5, 4 / 5]]),
+        w=[[0.0], [0.0], [1.0]],
+        n=[2, 1, 1],
+        c_puct=c_puct,
+        seats=[0, 0, 0],
+        terminal=list(terminal),
+        children=[[1, 2], [-1, -1], [-1, -1]],
+    )
+
+
+def test_high_cpuct():
+    # High regularization: ignore q, stay close to the prior
+    tree = make_tree(**_three_node_data(1000.0))
+    parents, actions = run_descend(tree)
+    assert_distribution(parents, [0, 1 / 3, 2 / 3])
+    assert_distribution(actions, [1 / 3 * 1 / 4 + 2 / 3 * 1 / 5, 1 / 3 * 3 / 4 + 2 / 3 * 4 / 5])
+
+
+def test_low_cpuct():
+    # Low regularization: concentrate on the high-q path
+    tree = make_tree(**_three_node_data(0.001))
+    parents, actions = run_descend(tree)
+    assert_distribution(parents, [0, 0, 1])
+    assert_distribution(actions, [1 / 5, 4 / 5])
+
+
+def test_balanced_cpuct():
+    # Reconstruct alpha from the observed root distribution and check the
+    # sum-to-one constraint it solves (reference mcts/tests.py:93-128)
+    data = _three_node_data(2.0)
+    tree = make_tree(**data)
+    parents, _ = run_descend(tree)
+    parents = np.asarray(parents)
+
+    dist = np.array([(parents == 1).sum(), (parents == 2).sum()], float)
+    p = dist / dist.sum()
+
+    A = 2
+    N = data["n"][0]
+    lambda_n = data["c_puct"] * N / (A + N)
+    pi = np.exp(data["logits"][0])
+    w = np.array(data["w"])[:, 0]
+    n = np.array(data["n"])
+    q_raw = w / n
+    # global min-max normalization as _transition_q applies (min over all
+    # nodes = 0, max = 1 here already)
+    q = q_raw[np.array(data["children"][0])]
+
+    alphas = lambda_n * pi / p + q
+    alpha = alphas.mean()
+    unity = (lambda_n * pi / (alpha - q)).sum()
+    assert abs(unity - 1) < 0.1
+
+
+def test_terminal():
+    # Transition to node 1 is terminal: descents stop there
+    tree = make_tree(**_three_node_data(1000.0, terminal=(False, True, False)))
+    parents, actions = run_descend(tree)
+    assert_distribution(parents, [1 / 3, 0, 2 / 3])
+    assert_distribution(actions, [1 / 3 + 2 / 3 * 1 / 5, 2 / 3 * 4 / 5])
+
+
+# --------------------------------------------------------------------------
+# Backup
+# --------------------------------------------------------------------------
+
+def backup_tree(v, w, n, rewards, parents, terminal):
+    v = np.asarray(v, np.float32)[None]
+    T, S = v.shape[1:]
+    return M.Tree(
+        children=jnp.full((1, T, 1), -1, jnp.int32),
+        parents=jnp.asarray(np.asarray(parents, np.int32)[None]),
+        relation=jnp.full((1, T), -1, jnp.int32),
+        worlds=None,
+        seats=jnp.zeros((1, T), jnp.int32),
+        terminal=jnp.asarray(np.asarray(terminal, bool)[None]),
+        rewards=jnp.asarray(np.asarray(rewards, np.float32)[None]),
+        logits=jnp.zeros((1, T, 1), jnp.float32),
+        v=jnp.asarray(v),
+        n=jnp.asarray(np.asarray(n, np.int32)[None]),
+        w=jnp.asarray(np.asarray(w, np.float32)[None]),
+        c_puct=jnp.ones((1,), jnp.float32),
+        sim=jnp.array(T, jnp.int32),
+    )
+
+
+def test_backup_simple():
+    tree = backup_tree(
+        v=[[1.0], [2.0]], w=[[3.0], [4.0]], n=[5, 6],
+        rewards=[[0.0], [0.0]], parents=[-1, 0], terminal=[False, False],
+    )
+    out = jax.jit(M.backup, static_argnums=2)(tree, jnp.array([1]), 1)
+    np.testing.assert_allclose(np.asarray(out.w), [[[5.0], [6.0]]])
+    np.testing.assert_allclose(np.asarray(out.n), [[6, 7]])
+
+
+def test_backup_rewards():
+    tree = backup_tree(
+        v=[[0.0], [0.0]], w=[[0.0], [0.0]], n=[0, 0],
+        rewards=[[0.0], [1.0]], parents=[-1, 0], terminal=[False, False],
+    )
+    out = jax.jit(M.backup, static_argnums=2)(tree, jnp.array([1]), 1)
+    np.testing.assert_allclose(np.asarray(out.w), [[[1.0], [1.0]]])
+    np.testing.assert_allclose(np.asarray(out.n), [[1, 1]])
+
+
+def test_backup_terminal():
+    tree = backup_tree(
+        v=[[0.0], [1.0], [2.0]], w=[[0.0], [0.0], [0.0]], n=[0, 0, 0],
+        rewards=[[0.0], [3.0], [0.0]], parents=[-1, 0, 1], terminal=[False, True, False],
+    )
+    out = jax.jit(M.backup, static_argnums=2)(tree, jnp.array([2]), 1)
+    np.testing.assert_allclose(np.asarray(out.w), [[[3.0], [3.0], [2.0]]])
+
+
+# --------------------------------------------------------------------------
+# Full searches on planted-value games
+# --------------------------------------------------------------------------
+
+def search(world, n_nodes, seed=0, **kwargs):
+    agent = validation.ProxyAgent()
+    cfg = M.MCTSConfig(n_nodes=n_nodes, **kwargs)
+    run = jax.jit(lambda w, k: M.root(M.mcts(w, agent, k, cfg)))
+    return run(world, jax.random.PRNGKey(seed))
+
+
+def test_trivial():
+    world = validation.Win.initial(n_envs=1)
+    r = search(world, n_nodes=3)
+    np.testing.assert_allclose(np.asarray(r["v"]), [[1.0]], atol=1e-5)
+
+
+def test_two_player():
+    world = validation.WinnerLoser.initial(n_envs=1)
+    r = search(world, n_nodes=3)
+    np.testing.assert_allclose(np.asarray(r["v"]), [[1.0, -1.0]], atol=1e-5)
+
+
+def test_depth():
+    world = validation.All.initial(n_envs=1, length=3)
+    r = search(world, n_nodes=15, noise_eps=0.0)
+    np.testing.assert_allclose(np.asarray(r["v"]), [[1 / 8]], atol=1e-5)
+
+
+def test_multienv():
+    world = validation.All.initial(n_envs=2, length=3)
+    r = search(world, n_nodes=15, noise_eps=0.0)
+    np.testing.assert_allclose(np.asarray(r["v"]), [[1 / 8], [1 / 8]], atol=1e-5)
+
+
+def test_planted_game():
+    # A competitive 3x3 position where columns 2 and 5 are the key cells
+    # (reference mcts/tests.py:287-309)
+    world = hex.from_string("""
+    wb.
+    bw.
+    wb.
+    """)
+    agent = validation.RandomAgent()
+    cfg = M.MCTSConfig(n_nodes=63, c_puct=1.0, noise_eps=0.0)
+    run = jax.jit(lambda w, k: M.root(M.mcts(w, agent, k, cfg)))
+    r = run(world, jax.random.PRNGKey(3))
+    probs = np.exp(np.asarray(r["logits"][0]))
+    assert probs[2] > probs[8] and probs[5] > probs[7]
+
+
+def test_agent_protocol():
+    world = hex.Hex.initial(n_envs=4, boardsize=3)
+    agent = M.MCTSAgent(validation.RandomAgent(), n_nodes=8)
+    decisions = jax.jit(lambda w, k: agent(w, k))(world, jax.random.PRNGKey(0))
+    assert decisions["actions"].shape == (4,)
+    assert decisions["logits"].shape == (4, 9)
+    assert decisions["v"].shape == (4, 2)
+    valid = np.asarray(world.valid)
+    acts = np.asarray(decisions["actions"])
+    assert all(valid[e, acts[e]] for e in range(4))
+
+
+def test_dummy_agent():
+    world = hex.Hex.initial(n_envs=4, boardsize=3)
+    agent = M.DummyAgent(validation.RandomAgent())
+    decisions = jax.jit(lambda w, k: agent(w, k))(world, jax.random.PRNGKey(0))
+    assert decisions["actions"].shape == (4,)
+    assert np.asarray(decisions["n_sims"]).tolist() == [0, 0, 0, 0]
