@@ -1,0 +1,121 @@
+"""Benchmark: prints ONE JSON line with the headline per-chip throughput.
+
+North-star metrics (BASELINE.md): env-steps/s and MCTS sims/s per chip at
+9x9 Hex. The headline value is raw env-step throughput (the reference's
+hex step+observe kernel benchmark, boardlaw/hex/tests.py:186-215, scaled up);
+`mcts_sims_per_s` covers the full search pipeline (descend + env step +
+network eval + backup) with the best-known 9x9 network (512x4).
+
+vs_baseline is measured against the driver's multi-host aggregate target of
+10M env-steps/s (BASELINE.json) — per-chip fractions of that target.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+
+def bench_env_steps(n_envs, boardsize, n_steps=64, reps=4):
+    from boardlaw_tpu.envs import hex
+
+    world = hex.Hex.initial(n_envs, boardsize)
+
+    @jax.jit
+    def roll(world, key):
+        def body(carry, _):
+            world, key = carry
+            key, sub = jax.random.split(key)
+            logits = jnp.where(world.valid, 0.0, -jnp.inf)
+            actions = jax.random.categorical(sub, logits, axis=-1)
+            world, transition = world.step(actions)
+            return (world, key), transition.terminal.sum()
+
+        (world, key), term = jax.lax.scan(body, (world, key), None, length=n_steps)
+        return world, term.sum()
+
+    key = jax.random.PRNGKey(0)
+    world, _ = roll(world, key)  # compile + warm
+    jax.block_until_ready(world.board)
+
+    t0 = time.perf_counter()
+    for i in range(reps):
+        world, n_term = roll(world, jax.random.fold_in(key, i))
+    jax.block_until_ready(world.board)
+    dt = time.perf_counter() - t0
+    return n_envs * n_steps * reps / dt
+
+
+def bench_mcts(n_envs, boardsize, width, depth, n_nodes, reps=3):
+    from boardlaw_tpu.envs import hex
+    from boardlaw_tpu.mcts import MCTSConfig, mcts, root
+    from boardlaw_tpu.train import TrainConfig, build_model
+
+    cfg = TrainConfig(
+        boardsize=boardsize, width=width, depth=depth, n_nodes=n_nodes,
+        dtype="bfloat16", tree_dtype="bfloat16",
+    )
+    model = build_model(cfg)
+    world = hex.Hex.initial(n_envs, boardsize)
+    params = model.init(jax.random.PRNGKey(0), world.obs, world.valid, world.seats)
+    mcfg = cfg.mcts_config()
+
+    def eval_fn(w, key=None):
+        return model.apply(params, w.obs, w.valid, w.seats)
+
+    @jax.jit
+    def actor_step(world, key):
+        k_search, k_act = jax.random.split(key)
+        r = root(mcts(world, eval_fn, k_search, mcfg))
+        actions = jax.random.categorical(k_act, r["logits"], axis=-1)
+        new_world, _ = world.step(actions)
+        return new_world
+
+    key = jax.random.PRNGKey(0)
+    world = actor_step(world, key)  # compile + warm
+    jax.block_until_ready(world.board)
+
+    t0 = time.perf_counter()
+    for i in range(reps):
+        world = actor_step(world, jax.random.fold_in(key, i))
+    jax.block_until_ready(world.board)
+    dt = time.perf_counter() - t0
+    sims = n_envs * (n_nodes - 1) * reps
+    samples = n_envs * reps
+    return sims / dt, samples / dt
+
+
+def main():
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if on_tpu:
+        env_envs, mcts_envs = 32 * 1024, 16 * 1024
+        boardsize, width, depth, n_nodes = 9, 512, 4, 64
+    else:  # CPU smoke sizes
+        env_envs, mcts_envs = 256, 64
+        boardsize, width, depth, n_nodes = 9, 64, 2, 16
+
+    env_rate = bench_env_steps(env_envs, boardsize)
+    sims_rate, sample_rate = bench_mcts(mcts_envs, boardsize, width, depth, n_nodes)
+
+    print(
+        json.dumps(
+            {
+                "metric": "env_steps_per_s_9x9_per_chip",
+                "value": round(env_rate, 1),
+                "unit": "env-steps/s",
+                "vs_baseline": round(env_rate / 10e6, 4),
+                "mcts_sims_per_s": round(sims_rate, 1),
+                "mcts_sample_per_s": round(sample_rate, 1),
+                "n_envs": env_envs,
+                "platform": jax.devices()[0].platform,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

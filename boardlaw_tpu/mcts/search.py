@@ -52,9 +52,17 @@ class MCTSConfig:
 class Tree(struct.PyTreeNode):
     """The search tree for every env, as dense (B, T, ...) tensors.
 
-    Same data model as the reference (mcts/__init__.py:43-70): children /
-    parents / relation topology, per-node worlds, transitions, decisions,
-    and visit statistics, preallocated at T = n_nodes slots.
+    Same data model as the reference (mcts/__init__.py:43-70) — children /
+    parents / relation topology, per-node worlds, transitions, decisions and
+    visit statistics preallocated at T = n_nodes slots — plus one TPU-first
+    addition: *edge* statistics. The reference keeps stats per node and
+    gathers each child's (q, n) through the children pointers on every
+    descend step (mcts/cpp/cuda.cu:80-92); per-element cross-tree gathers
+    lower terribly on TPU. Because an edge (p, a) -> c is traversed exactly
+    when c is on the backup path, `n_edge[b,p,a] == n[b,c]` and
+    `w_edge[b,p,a] == w[b,c,seat(p)]` hold identically — so keeping them as
+    dense (B,T,A) tensors updated during backup turns the descend hot path
+    into pure row lookups with NO child indirection.
     """
 
     children: jnp.ndarray  # (B,T,A) int32, -1 = unexpanded
@@ -66,8 +74,10 @@ class Tree(struct.PyTreeNode):
     rewards: jnp.ndarray  # (B,T,S) f32
     logits: jnp.ndarray  # (B,T,A) tree_dtype log-prior per node
     v: jnp.ndarray  # (B,T,S) f32 network value per node
-    n: jnp.ndarray  # (B,T) int32 visit counts
-    w: jnp.ndarray  # (B,T,S) f32 value sums
+    n: jnp.ndarray  # (B,T) int32 visit counts per node
+    w: jnp.ndarray  # (B,T,S) f32 value sums per node
+    n_edge: jnp.ndarray  # (B,T,A) f32 — visits of each child, stored on the edge
+    w_edge: jnp.ndarray  # (B,T,A) f32 — child value sums for the PARENT's seat
     c_puct: jnp.ndarray  # (B,) f32
     sim: jnp.ndarray  # () int32 — next free node slot
 
@@ -89,13 +99,32 @@ def build(world, cfg: MCTSConfig):
         seats=jnp.broadcast_to(world.seats.astype(jnp.int32)[:, None], (B, T)),
         terminal=jnp.zeros((B, T), bool),
         rewards=jnp.zeros((B, T, S), jnp.float32),
-        logits=jnp.full((B, T, A), jnp.nan, cfg.tree_dtype),
-        v=jnp.full((B, T, S), jnp.nan, jnp.float32),
+        # NOTE: unlike the reference's NaN-poisoned init (mcts/__init__.py:55),
+        # tree tensors must stay FINITE: row lookups are one-hot contractions
+        # and 0 * inf = NaN would contaminate every lookup. -inf logits are
+        # clamped to NEG_INF_PROXY on store (exp underflows to 0 identically).
+        logits=jnp.zeros((B, T, A), cfg.tree_dtype),
+        v=jnp.zeros((B, T, S), jnp.float32),
         n=jnp.zeros((B, T), jnp.int32),
         w=jnp.zeros((B, T, S), jnp.float32),
+        n_edge=jnp.zeros((B, T, A), jnp.float32),
+        w_edge=jnp.zeros((B, T, A), jnp.float32),
         c_puct=jnp.full((B,), cfg.c_puct, jnp.float32),
         sim=jnp.array(0, jnp.int32),
     )
+
+
+# Finite stand-in for -inf inside tree tensors: exp(-1e4) underflows to 0 in
+# f32/bf16, so masked actions behave identically to the reference's -inf.
+NEG_INF_PROXY = -1e4
+
+
+def _clamp_logits(logits):
+    return jnp.maximum(logits, NEG_INF_PROXY)
+
+
+def _unclamp_logits(logits):
+    return jnp.where(logits <= NEG_INF_PROXY, -jnp.inf, logits)
 
 
 def dirichlet_noise(key, logits, valid, eps, alpha_scale=10.0):
@@ -115,7 +144,7 @@ def initialize(tree, decisions, key, cfg: MCTSConfig, valid):
     (reference mcts/__init__.py:72-80)."""
     noised = dirichlet_noise(key, decisions["logits"], valid, cfg.noise_eps, cfg.alpha_scale)
     return tree.replace(
-        logits=tree.logits.at[:, 0].set(noised.astype(tree.logits.dtype)),
+        logits=tree.logits.at[:, 0].set(_clamp_logits(noised).astype(tree.logits.dtype)),
         v=tree.v.at[:, 0].set(decisions["v"].astype(tree.v.dtype)),
         sim=jnp.array(1, jnp.int32),
     )
@@ -125,74 +154,94 @@ def initialize(tree, decisions, key, cfg: MCTSConfig, valid):
 # The regularized-policy solve
 # --------------------------------------------------------------------------
 
-def solve_policy(pi, q, lambda_n, tol=1e-3, max_iters=100):
+def solve_policy(pi, q, lambda_n, tol=1e-3, n_iters=16):
     """Solve pi_bar(a) = lambda_n*pi(a)/(alpha - q(a)) with alpha chosen by
     Newton iteration so sum_a pi_bar = 1, vectorized over envs.
 
     pi: (B,A) prior probs (0 at invalid actions); q: (B,A) in [0,1];
     lambda_n: (B,). Mirrors the per-thread shared-memory solve of
     mcts/cpp/cuda.cu:35-68 as (B,A) VPU math.
+
+    TPU note: the iteration count is FIXED and unrolled (masked updates after
+    convergence) rather than an early-exit `lax.while_loop`. Each while-loop
+    trip is a separate latency-bound device step (~50us); unrolling lets XLA
+    fuse the whole solve into one kernel. Typical problems converge in ~10
+    Newton steps (the reference notes the same, cuda.cu:45-47), so 16 fused
+    iterations is both faster and as accurate as the reference's up-to-100
+    early-exit loop.
     """
     lam = lambda_n[:, None].astype(jnp.float32)
     pi = pi.astype(jnp.float32)
     q = q.astype(jnp.float32)
 
     gap = jnp.maximum(lam * pi, 1e-4)
-    alpha0 = jnp.max(q + gap, -1)
+    alpha = jnp.max(q + gap, -1)
     floor = jnp.max(q, -1) + 1e-6  # keep alpha strictly above every q
+    done = jnp.zeros(alpha.shape, bool)
 
-    def cond(carry):
-        _, _, done, t = carry
-        return (~done).any() & (t < max_iters)
-
-    def body(carry):
-        alpha, last_err, done, t = carry
+    for _ in range(n_iters):
         denom = alpha[:, None] - q
-        s = (lam * pi / denom).sum(-1)
-        g = (-lam * pi / jnp.square(denom)).sum(-1)
+        terms = lam * pi / denom
+        s = terms.sum(-1)
+        g = (-terms / denom).sum(-1)
         err = s - 1.0
-        newly_done = (err < tol) | (err == last_err)
-        step = jnp.where(done | newly_done, 0.0, err / g)
-        alpha = jnp.maximum(alpha - step, floor)
-        return alpha, jnp.where(done, last_err, err), done | newly_done, t + 1
+        done = done | (err < tol)
+        alpha = jnp.maximum(alpha - jnp.where(done, 0.0, err / g), floor)
 
-    alpha, _, _, _ = jax.lax.while_loop(
-        cond, body, (alpha0, jnp.full_like(alpha0, jnp.inf), jnp.zeros(alpha0.shape, bool), 0)
-    )
     return lam * pi / (alpha[:, None] - q)
 
 
-def _node_policy(tree, t, q_all):
+def _take_node(arr, t, dtype=None):
+    """Per-env row lookup `arr[envs, t]` for (B, T, ...) tensors.
+
+    TPU note: batched ROW gathers and scatters lower to full-tensor-bandwidth
+    scans (~fine); what must never appear in the hot path is a per-ELEMENT
+    gather with (B, A) index tensors (the reference's child q/n indirection,
+    mcts/cpp/cuda.cu:80-92) — those are 30x slower. The edge-stat layout
+    exists precisely so every hot lookup is a row lookup.
+    """
+    out = jnp.take_along_axis(arr, t.reshape((-1,) + (1,) * (arr.ndim - 1)), axis=1)
+    out = out[:, 0]
+    return out.astype(dtype) if dtype is not None else out
+
+
+def _take_action(row, a):
+    """Per-env element lookup `row[envs, a]` for a (B, A) tensor."""
+    return jnp.take_along_axis(row, a[:, None], axis=1)[:, 0]
+
+
+def _node_policy(tree, t, q_bounds):
     """pi_bar for node index t (B,) of every env.
 
-    Gathers per-child q and visit counts exactly as mcts/cpp/cuda.cu:70-99:
-    unexpanded children contribute q=0 and count 1 to N.
+    Semantics match mcts/cpp/cuda.cu:70-99 exactly — unexpanded children
+    contribute q=0 and count 1 to N — but all inputs come from the dense edge
+    tensors of this node's row: no child indirection at all.
     """
     B, T, A = tree.children.shape
-    envs = jnp.arange(B)
 
-    children = tree.children[envs, t]  # (B,A)
-    logits = tree.logits[envs, t].astype(jnp.float32)  # (B,A)
-    seat = tree.seats[envs, t]  # (B,)
+    logits = _take_node(tree.logits, t)  # (B,A)
+    n_edge = _take_node(tree.n_edge, t)  # (B,A)
+    w_edge = _take_node(tree.w_edge, t)  # (B,A)
 
-    expanded = children > -1
-    safe_child = jnp.where(expanded, children, 0)
-    q = jnp.where(expanded, q_all[envs[:, None], safe_child, seat[:, None]], 0.0)
-    counts = jnp.where(expanded, tree.n[envs[:, None], safe_child], 1)
+    lo, hi = q_bounds
+    expanded = n_edge > 0
+    q_raw = w_edge / (n_edge + 1e-4)
+    q = jnp.where(expanded, (q_raw - lo) / (hi - lo + 1e-4), 0.0)
+    counts = jnp.where(expanded, n_edge, 1.0)
 
     pi = jnp.exp(logits)
     N = counts.sum(-1)
-    lambda_n = tree.c_puct * N.astype(jnp.float32) / (N + A).astype(jnp.float32)
+    lambda_n = tree.c_puct * N / (N + A)
     return solve_policy(pi, q, lambda_n)
 
 
-def _transition_q(tree):
-    """Per-(node, seat) q estimates min-max normalised to [0,1] *globally*
-    across the whole batch/tree, exactly as the reference
-    (mcts/cpp/cuda.cu:101-105)."""
+def _q_bounds(tree):
+    """Global min/max of the per-(node, seat) q estimates, used to min-max
+    normalise q to [0,1] exactly as the reference (mcts/cpp/cuda.cu:101-105)
+    — computed over the *node* statistics for bit-parity with the reference's
+    `transition_q`, then applied to the identical edge-held q values."""
     q = tree.w / (tree.n[..., None].astype(jnp.float32) + 1e-4)
-    lo, hi = q.min(), q.max()
-    return (q - lo) / (hi - lo + 1e-4)
+    return q.min(), q.max()
 
 
 def _sample(probs, rand):
@@ -213,18 +262,20 @@ def descend(tree, rands):
     every node (using the pre-drawn uniform rands (B,T), one per node as in
     cuda.cu:184-203), until hitting a terminal or unexpanded child.
 
+    All envs walk in lockstep with per-env active masks; each level is one
+    fused block of row lookups + the Newton solve.
+
     Returns (parents, actions): the node to expand from and the action taken.
     """
     B, T, A = tree.children.shape
-    envs = jnp.arange(B)
-    q_all = _transition_q(tree)
+    q_bounds = _q_bounds(tree)
 
     t0 = jnp.zeros((B,), jnp.int32)
     parent0 = jnp.zeros((B,), jnp.int32)
     action0 = jnp.full((B,), -1, jnp.int32)
 
     def active_of(t):
-        return (t != -1) & ~tree.terminal[envs, jnp.clip(t, 0)]
+        return (t != -1) & ~_take_node(tree.terminal, jnp.clip(t, 0))
 
     def cond(carry):
         t, parent, action = carry
@@ -234,11 +285,12 @@ def descend(tree, rands):
         t, parent, action = carry
         active = active_of(t)
         safe_t = jnp.clip(t, 0)
-        probs = _node_policy(tree, safe_t, q_all)
-        a = _sample(probs, rands[envs, safe_t])
+        probs = _node_policy(tree, safe_t, q_bounds)
+        a = _sample(probs, _take_node(rands, safe_t))
+        child = _take_action(_take_node(tree.children, safe_t), a)
         parent = jnp.where(active, safe_t, parent)
         action = jnp.where(active, a, action)
-        t = jnp.where(active, tree.children[envs, safe_t, a], t)
+        t = jnp.where(active, child, t)
         return t, parent, action
 
     _, parents, actions = jax.lax.while_loop(cond, body, (t0, parent0, action0))
@@ -247,34 +299,65 @@ def descend(tree, rands):
 
 def backup(tree, leaves, n_per_visit):
     """Propagate the leaf value to the root, zeroing at terminal nodes and
-    accumulating per-node rewards (reference mcts/cpp/cuda.cu:205-236).
+    accumulating per-node rewards (reference mcts/cpp/cuda.cu:205-236), and
+    mirror each child's (n, w[parent-seat]) onto its parent edge so descend
+    needs no child indirection.
 
     n_per_visit: how much each visit adds to n — n_seats replicates the
     reference's per-seat increment (see module docstring), 1 is the fix.
     """
     B, T, S = tree.w.shape
-    envs = jnp.arange(B)
+    A = tree.children.shape[-1]
 
-    v0 = tree.v[envs, leaves]  # (B,S)
+    v0 = _take_node(tree.v, leaves)  # (B,S)
     current0 = leaves.astype(jnp.int32)
+    dn0 = jnp.zeros((B, T), jnp.float32)
+    dw0 = jnp.zeros((B, T, S), jnp.float32)
+    dne0 = jnp.zeros((B, T, A), jnp.float32)
+    dwe0 = jnp.zeros((B, T, A), jnp.float32)
 
     def cond(carry):
-        _, current, _, _ = carry
+        _, current, _, _, _, _ = carry
         return (current != -1).any()
 
     def body(carry):
-        v, current, n, w = carry
+        v, current, dn, dw, dne, dwe = carry
         active = current != -1
         safe = jnp.clip(current, 0)
-        v = jnp.where((tree.terminal[envs, safe] & active)[:, None], 0.0, v)
-        v = v + jnp.where(active[:, None], tree.rewards[envs, safe], 0.0)
-        n = n.at[envs, safe].add(jnp.where(active, n_per_visit, 0))
-        w = w.at[envs, safe].add(jnp.where(active[:, None], v, 0.0))
-        current = jnp.where(active, tree.parents[envs, safe], -1)
-        return v, current, n, w
 
-    _, _, n, w = jax.lax.while_loop(cond, body, (v0, current0, tree.n, tree.w))
-    return tree.replace(n=n, w=w)
+        term = _take_node(tree.terminal, safe)
+        v = jnp.where((term & active)[:, None], 0.0, v)
+        v = v + jnp.where(active[:, None], _take_node(tree.rewards, safe), 0.0)
+
+        onehot_c = jax.nn.one_hot(safe, T, dtype=jnp.float32) * active[:, None]
+        dn = dn + onehot_c * n_per_visit
+        dw = dw + onehot_c[:, :, None] * v[:, None, :]
+
+        parent = _take_node(tree.parents, safe)
+        rel = _take_node(tree.relation, safe)
+        has_edge = active & (parent != -1)
+        safe_p = jnp.clip(parent, 0)
+        seat_p = _take_node(tree.seats, safe_p)
+        v_for_parent = _take_action(v, jnp.clip(seat_p, 0, S - 1))
+
+        onehot_p = jax.nn.one_hot(safe_p, T, dtype=jnp.float32) * has_edge[:, None]
+        onehot_a = jax.nn.one_hot(jnp.clip(rel, 0), A, dtype=jnp.float32)
+        edge_mask = onehot_p[:, :, None] * onehot_a[:, None, :]
+        dne = dne + edge_mask * n_per_visit
+        dwe = dwe + edge_mask * v_for_parent[:, None, None]
+
+        current = jnp.where(active, parent, -1)
+        return v, current, dn, dw, dne, dwe
+
+    _, _, dn, dw, dne, dwe = jax.lax.while_loop(
+        cond, body, (v0, current0, dn0, dw0, dne0, dwe0)
+    )
+    return tree.replace(
+        n=tree.n + jnp.round(dn).astype(tree.n.dtype),
+        w=tree.w + dw,
+        n_edge=tree.n_edge + dne,
+        w_edge=tree.w_edge + dwe,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -295,14 +378,16 @@ def simulate(tree, eval_fn, key, cfg: MCTSConfig):
     # Reuse the existing child slot if this (parent, action) edge was already
     # expanded (terminal transitions stop descents early) — else allocate slot
     # `sim` (mcts/__init__.py:115-122).
-    existing = tree.children[envs, parents, actions]
+    existing = _take_action(_take_node(tree.children, parents), actions).astype(jnp.int32)
     leaves = jnp.where(existing == -1, tree.sim, existing).astype(jnp.int32)
 
     children = tree.children.at[envs, parents, actions].set(leaves)
     parents_arr = tree.parents.at[envs, leaves].set(parents)
     relation = tree.relation.at[envs, leaves].set(actions)
 
-    old_world = jax.tree.map(lambda x: x[envs, parents], tree.worlds)
+    old_world = jax.tree.map(
+        lambda x: _take_node(x, parents, dtype=x.dtype), tree.worlds
+    )
     world, transition = old_world.step(actions)
 
     decisions = eval_fn(world, k_eval)
@@ -315,7 +400,9 @@ def simulate(tree, eval_fn, key, cfg: MCTSConfig):
         seats=tree.seats.at[envs, leaves].set(world.seats.astype(jnp.int32)),
         terminal=tree.terminal.at[envs, leaves].set(transition.terminal),
         rewards=tree.rewards.at[envs, leaves].set(transition.rewards.astype(tree.rewards.dtype)),
-        logits=tree.logits.at[envs, leaves].set(decisions["logits"].astype(tree.logits.dtype)),
+        logits=tree.logits.at[envs, leaves].set(
+            _clamp_logits(decisions["logits"]).astype(tree.logits.dtype)
+        ),
         v=tree.v.at[envs, leaves].set(decisions["v"].astype(tree.v.dtype)),
         sim=tree.sim + 1,
     )
@@ -328,11 +415,10 @@ def root(tree):
     """The improved root policy (training target), prior, and root value
     (reference mcts/__init__.py:142-149)."""
     B = tree.children.shape[0]
-    q_all = _transition_q(tree)
-    probs = _node_policy(tree, jnp.zeros((B,), jnp.int32), q_all)
+    probs = _node_policy(tree, jnp.zeros((B,), jnp.int32), _q_bounds(tree))
     return {
         "logits": jnp.log(probs),
-        "prior": tree.logits[:, 0].astype(jnp.float32),
+        "prior": _unclamp_logits(tree.logits[:, 0].astype(jnp.float32)),
         "v": tree.v[:, 0],
     }
 

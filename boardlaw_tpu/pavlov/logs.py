@@ -1,0 +1,47 @@
+"""Per-run log files: a root-logger file handler plus a tail reader.
+
+Reference counterpart: pavlov/logs.py:47-193 — every process in a run logs to
+its own `logs.{n}.txt`; readers aggregate and tail them.
+"""
+from __future__ import annotations
+
+import logging
+from contextlib import contextmanager
+
+from . import files, runs
+
+FORMAT = "%(asctime)s %(levelname)s %(name)s: %(message)s"
+
+
+@contextmanager
+def to_run(run):
+    run = runs.resolve(run)
+    path = files.new_file(run, "logs.{n}.txt")
+    handler = logging.FileHandler(path)
+    handler.setFormatter(logging.Formatter(FORMAT))
+    root = logging.getLogger()
+    old_level = root.level
+    root.addHandler(handler)
+    if root.level > logging.INFO:
+        root.setLevel(logging.INFO)
+    try:
+        yield
+    finally:
+        root.removeHandler(handler)
+        root.setLevel(old_level)
+        handler.close()
+
+
+def paths(run):
+    run = runs.resolve(run)
+    return [files.path(run, f) for f in files.glob(run, "logs.{n}.txt")]
+
+
+def tail(run, n=20):
+    """Last n lines across this run's log files."""
+    lines = []
+    for p in paths(run):
+        if p.exists():
+            with open(p) as f:
+                lines.extend(f.readlines())
+    return "".join(lines[-n:])

@@ -1,0 +1,428 @@
+"""The actor-learner self-play training loop.
+
+Reference counterpart: boardlaw/main.py. Same shape: a rolling buffer of the
+last `buffer_len` self-play steps feeds a learner that each iteration samples
+one random timestep per env (32k-sample batches), optimizing policy
+cross-entropy against the MCTS root targets plus value MSE against
+reward-to-go (main.py:76-145, 147-200).
+
+TPU-first differences:
+  * The whole train iteration — one MCTS-driven actor step, the buffer
+    update, reward-to-go recomputation, and the Adam step — is ONE jitted
+    program (`train_step`). No host round-trips; stats come back as a dict of
+    device scalars written to pavlov channels afterwards (deferred I/O).
+  * bf16 compute replaces AMP + GradScaler (no scaler needed in bf16).
+  * Step-level resume (missing in the reference — SURVEY.md §5.3): `latest`
+    checkpoints carry params, optimizer state and counters, and `run(...,
+    resume=...)` continues a run exactly.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from logging import getLogger
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pandas as pd
+from flax import struct
+
+from . import learning, storage as bstorage
+from .envs import hex
+from .mcts import MCTSConfig, mcts as run_mcts, root as mcts_root, n_leaves
+from .models.networks import FCModel
+from .pavlov import logs, runs, stats, storage as pstorage
+
+log = getLogger(__name__)
+
+# Best-known hyperparameters per boardsize (reference main.py:17-25)
+BEST = pd.DataFrame(
+    [
+        [3, 2, 4, 64, 1 / 16],
+        [4, 8, 2, 64, 1 / 16],
+        [5, 16, 4, 64, 1 / 16],
+        [6, 128, 1, 64, 1 / 16],
+        [7, 128, 4, 64, 1 / 16],
+        [8, 256, 4, 64, 1 / 16],
+        [9, 512, 4, 64, 1 / 16],
+    ],
+    columns=["boardsize", "width", "depth", "nodes", "c_puct"],
+)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    boardsize: int
+    width: int
+    depth: int
+    n_envs: int = 32 * 1024
+    buffer_len: int = 64
+    n_nodes: int = 64
+    c_puct: float = 1 / 16
+    noise_eps: float = 0.25
+    lr: float = 1e-3
+    mix_steps: int = 2500
+    seed: int = 0
+    dtype: str = "float32"  # network compute dtype ('bfloat16' on TPU)
+    tree_dtype: str = "float32"  # MCTS tree logits storage
+    buffer_dtype: str = "float32"  # replay logits storage
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    def mcts_config(self):
+        return MCTSConfig(
+            n_nodes=self.n_nodes,
+            c_puct=self.c_puct,
+            noise_eps=self.noise_eps,
+            tree_dtype=jnp.dtype(self.tree_dtype),
+        )
+
+
+class TrainState(struct.PyTreeNode):
+    worlds: object
+    buffer: dict  # leaves (buffer_len, n_envs, ...)
+    params: dict
+    opt_state: object
+    key: jnp.ndarray
+    step: jnp.ndarray  # learner steps taken
+
+
+def _masked_corr(x, y, m):
+    m = m.astype(jnp.float32)
+    n = m.sum() + 1e-6
+    mx = (x * m).sum() / n
+    my = (y * m).sum() / n
+    cov = ((x - mx) * (y - my) * m).sum() / n
+    vx = (jnp.square(x - mx) * m).sum() / n
+    vy = (jnp.square(y - my) * m).sum() / n
+    return cov / jnp.sqrt(vx * vy + 1e-12)
+
+
+def build_model(cfg: TrainConfig):
+    world = hex.Hex.initial(1, cfg.boardsize)
+    return FCModel(
+        obs_space=world.obs_space,
+        action_space=world.action_space,
+        width=cfg.width,
+        depth=cfg.depth,
+        n_seats=world.n_seats,
+        dtype=cfg.compute_dtype,
+    )
+
+
+def make_train(cfg: TrainConfig):
+    """Build the jitted init/warmup/train_step functions for a config."""
+    model = build_model(cfg)
+    opt = optax.adam(cfg.lr)
+    mcfg = cfg.mcts_config()
+    B = cfg.n_envs
+    T = cfg.buffer_len
+    envs = jnp.arange(B)
+
+    def eval_fn(params):
+        def f(world, key=None):
+            return model.apply(params, world.obs, world.valid, world.seats)
+
+        return f
+
+    def actor_record(params, worlds, key):
+        """One self-play step for every env: search, act, step. Returns the
+        new worlds plus the replay record of the pre-step state."""
+        k_search, k_act = jax.random.split(key)
+        tree = run_mcts(worlds, eval_fn(params), k_search, mcfg)
+        r = mcts_root(tree)
+        actions = jax.random.categorical(k_act, r["logits"], axis=-1)
+        new_worlds, transition = worlds.step(actions)
+        bdt = jnp.dtype(cfg.buffer_dtype)
+        record = {
+            "worlds": worlds,
+            "logits": r["logits"].astype(bdt),
+            "prior": r["prior"].astype(bdt),
+            "v": r["v"].astype(jnp.float32),
+            "n_leaves": n_leaves(tree).astype(jnp.int32),
+            "terminal": transition.terminal,
+            "rewards": transition.rewards.astype(jnp.float32),
+        }
+        return new_worlds, record
+
+    def empty_buffer(worlds):
+        _, record = jax.eval_shape(
+            lambda w, k: actor_record(init_params(jax.random.PRNGKey(0)), w, k),
+            worlds,
+            jax.random.PRNGKey(0),
+        )
+        return jax.tree.map(lambda s: jnp.zeros((T,) + s.shape, s.dtype), record)
+
+    def push(buffer, record):
+        return jax.tree.map(
+            lambda buf, r: jnp.roll(buf, -1, axis=0).at[-1].set(r), buffer, record
+        )
+
+    def init_params(key):
+        world = hex.Hex.initial(1, cfg.boardsize)
+        return model.init(key, world.obs, world.valid, world.seats)
+
+    @jax.jit
+    def init(key):
+        k_mix, k_params, k_loop = jax.random.split(key, 3)
+        worlds = learning.mix(hex.Hex.initial(B, cfg.boardsize), k_mix, cfg.mix_steps)
+        params = init_params(k_params)
+        opt_state = opt.init(params)
+        buffer = empty_buffer(worlds)
+        return TrainState(
+            worlds=worlds,
+            buffer=buffer,
+            params=params,
+            opt_state=opt_state,
+            key=k_loop,
+            step=jnp.array(0, jnp.int32),
+        )
+
+    @jax.jit
+    def warmup(state):
+        """Fill the buffer with buffer_len actor steps (no learning) — the
+        reference's initial `while len(buffer) < buffer_len` (main.py:174)."""
+
+        def body(carry, _):
+            worlds, buffer, key = carry
+            key, sub = jax.random.split(key)
+            worlds, record = actor_record(state.params, worlds, sub)
+            return (worlds, push(buffer, record), key), None
+
+        (worlds, buffer, key), _ = jax.lax.scan(
+            body, (state.worlds, state.buffer, state.key), None, length=T
+        )
+        return state.replace(worlds=worlds, buffer=buffer, key=key)
+
+    def losses(params, batch):
+        worlds = batch["worlds"]
+        d = model.apply(params, worlds.obs, worlds.valid, worlds.seats)
+
+        zeros = jnp.zeros_like(d["logits"])
+        l = jnp.where(d["logits"] > -jnp.inf, d["logits"], zeros)
+        l0 = jnp.where(batch["logits"] > -jnp.inf, batch["logits"].astype(jnp.float32), zeros)
+
+        policy_loss = -(jnp.exp(l0) * l).sum(-1).mean()
+        target_v = batch["reward_to_go"]
+        value_loss = jnp.square(target_v - d["v"]).mean()
+        loss = policy_loss + value_loss
+
+        p0 = jnp.where(batch["prior"] > -jnp.inf, batch["prior"].astype(jnp.float32), zeros)
+        aux = {
+            "loss.policy": policy_loss,
+            "loss.value": value_loss,
+            "resid-var.num": jnp.square(target_v - d["v"]).mean(),
+            "resid-var.den": jnp.square(target_v).mean(),
+            "kl-div.behaviour": ((p0 - l0) * jnp.exp(p0)).sum(-1).mean(),
+            "kl-div.prior": ((p0 - l) * jnp.exp(p0)).sum(-1).mean(),
+            "rel-entropy.policy": learning.rel_entropy(d["logits"])[0],
+            "rel-entropy.targets": learning.rel_entropy(batch["logits"].astype(jnp.float32))[0],
+            "v.target.mean": target_v.mean(),
+            "v.target.std": target_v.std(),
+            "v.outputs.mean": d["v"].mean(),
+            "v.outputs.std": d["v"].std(),
+            "policy-conc": jnp.exp(l0).max(-1).mean(),
+        }
+        return loss, aux
+
+    @jax.jit
+    def train_step(state):
+        """One actor step + one learner step, fully fused (main.py:171-198)."""
+        key, k_actor, k_sample = jax.random.split(state.key, 3)
+
+        worlds, record = actor_record(state.params, state.worlds, k_actor)
+        buffer = push(state.buffer, record)
+
+        # value targets over the whole window, bootstrapped at the end
+        terminal = jnp.broadcast_to(
+            buffer["terminal"][..., None], buffer["rewards"].shape
+        )
+        rtg = learning.reward_to_go(buffer["rewards"], buffer["v"], terminal)
+
+        # one random timestep per env (reference main.py:169)
+        t_idx = jax.random.randint(k_sample, (B,), 0, T)
+        batch = jax.tree.map(lambda x: x[t_idx, envs], {**buffer, "reward_to_go": rtg})
+
+        (loss, aux), grads = jax.value_and_grad(losses, has_aux=True)(state.params, batch)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        gflat = jnp.concatenate([g.reshape(-1) for g in jax.tree.leaves(grads)])
+        uflat = jnp.concatenate([u.reshape(-1) for u in jax.tree.leaves(updates)])
+
+        # chunk telemetry (reference main.py:28-59)
+        tail_terminal = record["terminal"]
+        tail_rewards = record["rewards"]
+        tb = buffer["terminal"][..., None]
+        aux.update(
+            {
+                "loss.total": loss,
+                "grad.norm": jnp.sqrt(jnp.square(gflat).sum()),
+                "grad.max": jnp.abs(gflat).max(),
+                "step.std": jnp.sqrt(jnp.square(uflat).mean()),
+                "step.max": jnp.abs(uflat).max(),
+                "n-trajs": tail_terminal.sum(),
+                "wins.seat-0": (tail_rewards[:, 0] == 1).sum(),
+                "wins.seat-1": (tail_rewards[:, 1] == 1).sum(),
+                "mcts-n-leaves": record["n_leaves"].mean(),
+                "corr.terminal": _masked_corr(buffer["v"], buffer["rewards"], tb),
+                "corr.penultimate": _masked_corr(
+                    buffer["v"][:-1], buffer["rewards"][1:], tb[1:]
+                ),
+                "noise-scale": learning.noise_scale(B, opt_state),
+            }
+        )
+
+        return (
+            state.replace(
+                worlds=worlds,
+                buffer=buffer,
+                params=params,
+                opt_state=opt_state,
+                key=key,
+                step=state.step + 1,
+            ),
+            aux,
+        )
+
+    return model, opt, init, warmup, train_step
+
+
+# --------------------------------------------------------------------------
+# Checkpoint plumbing (step-level resume — a gap in the reference)
+# --------------------------------------------------------------------------
+
+def state_dict(state: TrainState, cfg: TrainConfig):
+    return {
+        "params": state.params,
+        "opt": list(jax.tree.leaves(state.opt_state)),
+        "step": np.asarray(state.step),
+        "kwargs": {"n_nodes": float(cfg.n_nodes), "c_puct": float(cfg.c_puct)},
+    }
+
+
+def load_state_dict(state: TrainState, sd) -> TrainState:
+    opt_def = jax.tree.structure(state.opt_state)
+    opt_leaves = [jnp.asarray(x) for x in jax.tree.leaves(sd["opt"])]
+    return state.replace(
+        params=jax.tree.map(lambda old, new: jnp.asarray(new, old.dtype), state.params, sd["params"]),
+        opt_state=jax.tree.unflatten(opt_def, opt_leaves),
+        step=jnp.asarray(np.asarray(sd["step"]), jnp.int32),
+    )
+
+
+# --------------------------------------------------------------------------
+# Entry point
+# --------------------------------------------------------------------------
+
+def run(
+    boardsize,
+    width,
+    depth,
+    desc="",
+    nodes=64,
+    c_puct=1 / 16,
+    lr=1e-3,
+    n_envs=32 * 1024,
+    storer="time",
+    max_steps=None,
+    resume=None,
+    arena=False,
+    **overrides,
+):
+    """Train an agent (reference main.py:147-200). Returns the run name.
+
+    `max_steps` bounds learner steps (for smoke tests); `resume` continues a
+    previous run from its latest checkpoint.
+    """
+    cfg = TrainConfig(
+        boardsize=boardsize,
+        width=width,
+        depth=depth,
+        n_envs=n_envs,
+        n_nodes=nodes,
+        c_puct=c_puct,
+        lr=lr,
+        **overrides,
+    )
+    model, opt, init, warmup, train_step = make_train(cfg)
+
+    state = init(jax.random.PRNGKey(cfg.seed))
+
+    if resume is not None:
+        run_name = runs.resolve(resume)
+        sd = pstorage.load_latest(run_name)
+        state = load_state_dict(state, sd["agent"])
+        log.info(f"resumed {run_name} at step {int(state.step)}")
+    else:
+        run_name = runs.new_run(
+            description=desc,
+            boardsize=boardsize,
+            width=width,
+            depth=depth,
+            nodes=nodes,
+            c_puct=c_puct,
+            lr=lr,
+            n_envs=n_envs,
+        )
+        pstorage.save_raw(
+            run_name, "model", {"cfg": cfg.__dict__, "kind": "FCModel"}
+        )
+
+    state = warmup(state)
+
+    flops_per = bstorage.flops_per_sample(state.params, cfg.n_nodes)
+    storer_cls = bstorage.TimeStorer if storer == "time" else bstorage.FlopsStorer
+    storer = storer_cls(run_name, boardsize, flops_per)
+
+    live = None
+    if arena:
+        from .arena import live as arena_live
+
+        live = arena_live.run(run_name)
+
+    try:
+        with logs.to_run(run_name), stats.to_run(run_name):
+            while True:
+                state, aux = train_step(state)
+                aux = jax.device_get(aux)
+                with stats.defer():
+                    for k, v in aux.items():
+                        if k.startswith(("loss", "corr", "kl", "rel-entropy", "v.", "policy-conc", "mcts", "noise", "step.", "grad.")):
+                            stats.mean(k, v)
+                    stats.rate("sample-rate.actor", cfg.n_envs)
+                    stats.rate("step-rate.learner", 1)
+                    stats.cumsum("count.samples", cfg.n_envs)
+                    stats.mean("n-trajs", aux["n-trajs"])
+                log.info(f"step {int(state.step)}")
+
+                finished = storer.step(state_dict(state, cfg), cfg.n_envs)
+                if max_steps is not None and int(state.step) >= max_steps:
+                    finished = True
+                if finished:
+                    pstorage.save_latest(run_name, {"agent": state_dict(state, cfg)})
+                    break
+    finally:
+        if live is not None:
+            live.terminate()
+
+    log.info("Finished")
+    return run_name
+
+
+def run_best(boardsize, **kwargs):
+    """Train with the best-known hyperparameters for a boardsize."""
+    row = BEST.set_index("boardsize").loc[boardsize]
+    return run(
+        boardsize,
+        int(row.width),
+        int(row.depth),
+        nodes=int(row.nodes),
+        c_puct=float(row.c_puct),
+        **kwargs,
+    )

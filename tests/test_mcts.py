@@ -23,6 +23,19 @@ def make_tree(logits, w, n, c_puct, seats, terminal, children, n_envs=1024):
     T, A = logits.shape
     w = np.asarray(w, np.float32)
     S = w.shape[-1]
+    n = np.asarray(n, np.int64)
+    children = np.asarray(children, np.int32)
+    seats = np.asarray(seats, np.int32)
+
+    # Edge stats mirror the node stats of each edge's child (see Tree docs)
+    n_edge = np.zeros((T, A), np.float32)
+    w_edge = np.zeros((T, A), np.float32)
+    for t in range(T):
+        for a in range(A):
+            c = children[t, a]
+            if c > -1:
+                n_edge[t, a] = n[c]
+                w_edge[t, a] = w[c, seats[t]]
 
     def rep(x):
         x = jnp.asarray(x)
@@ -30,17 +43,19 @@ def make_tree(logits, w, n, c_puct, seats, terminal, children, n_envs=1024):
 
     # parents/relation/worlds/rewards/v unused by descend/root
     return M.Tree(
-        children=rep(np.asarray(children, np.int32)),
+        children=rep(children),
         parents=rep(np.full((T,), -1, np.int32)),
         relation=rep(np.full((T,), -1, np.int32)),
         worlds=None,
-        seats=rep(np.asarray(seats, np.int32)),
+        seats=rep(seats),
         terminal=rep(np.asarray(terminal, bool)),
         rewards=rep(np.zeros((T, S), np.float32)),
         logits=rep(logits),
         v=rep(np.zeros((T, S), np.float32)),
-        n=rep(np.asarray(n, np.int32)),
+        n=rep(n.astype(np.int32)),
         w=rep(w),
+        n_edge=rep(n_edge),
+        w_edge=rep(w_edge),
         c_puct=jnp.full((n_envs,), c_puct, jnp.float32),
         sim=jnp.array(T, jnp.int32),
     )
@@ -165,10 +180,13 @@ def test_terminal():
 def backup_tree(v, w, n, rewards, parents, terminal):
     v = np.asarray(v, np.float32)[None]
     T, S = v.shape[1:]
+    parents = np.asarray(parents, np.int32)
+    # relation: each child is action 0 of its parent
+    relation = np.where(parents >= 0, 0, -1).astype(np.int32)
     return M.Tree(
         children=jnp.full((1, T, 1), -1, jnp.int32),
-        parents=jnp.asarray(np.asarray(parents, np.int32)[None]),
-        relation=jnp.full((1, T), -1, jnp.int32),
+        parents=jnp.asarray(parents[None]),
+        relation=jnp.asarray(relation[None]),
         worlds=None,
         seats=jnp.zeros((1, T), jnp.int32),
         terminal=jnp.asarray(np.asarray(terminal, bool)[None]),
@@ -177,6 +195,8 @@ def backup_tree(v, w, n, rewards, parents, terminal):
         v=jnp.asarray(v),
         n=jnp.asarray(np.asarray(n, np.int32)[None]),
         w=jnp.asarray(np.asarray(w, np.float32)[None]),
+        n_edge=jnp.zeros((1, T, 1), jnp.float32),
+        w_edge=jnp.zeros((1, T, 1), jnp.float32),
         c_puct=jnp.ones((1,), jnp.float32),
         sim=jnp.array(T, jnp.int32),
     )
