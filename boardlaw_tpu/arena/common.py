@@ -1,0 +1,158 @@
+"""Head-to-head match driver + agent/world loaders.
+
+Reference counterpart: boardlaw/arena/common.py. `evaluate` plays every seat
+permutation of the given agents over a batch of envs until all games finish,
+accumulating wins/moves/time per permutation (common.py:75-106).
+
+JAX shape note: the reference steps only the masked sub-batch of envs owned
+by the acting agent (dynamic shapes); here every agent acts on the full
+static-shaped batch and non-owned envs are frozen with a where — 2x the
+searches, but zero recompiles and full TPU batch efficiency.
+"""
+from __future__ import annotations
+
+import time
+from itertools import permutations
+from logging import getLogger
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import utils
+from ..envs import hex
+from ..mcts import MCTSAgent
+from ..models.networks import FCModel
+from ..pavlov import runs, storage as pstorage
+from ..train import TrainConfig
+
+log = getLogger(__name__)
+
+
+def agent(run, idx=None, **kwargs):
+    """Rebuild an MCTSAgent from a run's pickled model config plus its latest
+    (or numbered) snapshot (reference arena/common.py:14-34)."""
+    run = runs.resolve(run)
+    try:
+        spec = pstorage.load_raw(run, "model")
+    except IOError:
+        log.warning(f'no model file for "{run}"')
+        return None
+
+    cfg = TrainConfig(**spec["cfg"])
+    model = _build_model(cfg)
+
+    try:
+        sd = pstorage.load_latest(run) if idx is None else pstorage.load_snapshot(run, idx)
+    except (IOError, KeyError):
+        log.warning(f'no checkpoint for "{run}"')
+        return None
+
+    params = jax.tree.map(jnp.asarray, sd["agent"]["params"])
+
+    def eval_fn(world, key=None):
+        return model.apply(params, world.obs, world.valid, world.seats)
+
+    search = {
+        "n_nodes": int(sd["agent"]["kwargs"].get("n_nodes", cfg.n_nodes)),
+        "c_puct": float(sd["agent"]["kwargs"].get("c_puct", cfg.c_puct)),
+    }
+    search.update(kwargs)
+    return MCTSAgent(eval_fn, **search)
+
+
+def _build_model(cfg):
+    from ..train import build_model
+
+    return build_model(cfg)
+
+
+def worlds(run, n_envs):
+    boardsize = runs.info(runs.resolve(run))["params"]["boardsize"]
+    return hex.Hex.initial(n_envs, boardsize)
+
+
+def matchup_patterns(n_seats):
+    return np.array(list(permutations(range(n_seats))))
+
+
+def matchup_indices(n_envs, n_seats):
+    patterns = matchup_patterns(n_seats)
+    return np.tile(patterns, (n_envs // len(patterns), 1))
+
+
+def evaluate(world, agents, key=None, max_plies=None):
+    """Play each seat-permutation matchup of `agents` over the env batch
+    until every game ends. Returns one result dict per permutation with
+    (names, wins, moves, games, times).
+
+    agents: dict name->agent or list of (name, agent); exactly n_seats
+    entries. Agents follow the agent protocol: agent(world, key, eval=True)
+    -> {'actions': ...}.
+    """
+    if isinstance(agents, dict):
+        agents = list(agents.items())
+    n_seats = world.n_seats
+    B = world.n_envs
+    assert n_seats == 2, "only 2-seat games supported"
+    assert B % 2 == 0, "n_envs must be divisible by the number of seat permutations"
+    assert len(agents) == n_seats
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    matchups = jnp.asarray(matchup_indices(B, n_seats))  # (B, n_seats) seat->agent
+    envs = jnp.arange(B)
+
+    done = np.zeros(B, bool)
+    wins = np.zeros((B, n_seats))
+    moves = np.zeros(B)
+    times = np.zeros(B)
+    boardsize = getattr(world, "boardsize", 0)
+    max_plies = max_plies or (4 * boardsize ** 2 if boardsize else 256)
+
+    @jax.jit
+    def owners(world):
+        return matchups[envs, world.seats]
+
+    for ply in range(max_plies):
+        if done.all():
+            break
+        for i, (name, ag) in enumerate(agents):
+            key, sub = jax.random.split(key)
+            mask = np.asarray(owners(world)) == i
+            mask &= ~done
+            if not mask.any():
+                continue
+            start = time.time()
+            decisions = ag(world, sub, eval=True)
+            stepped, transition = world.step(decisions["actions"])
+            world = utils.where(jnp.asarray(mask), stepped, world)
+            elapsed = time.time() - start
+
+            terminal = np.asarray(transition.terminal) & mask
+            rewards = np.asarray(transition.rewards)
+            wins[terminal] += (rewards[terminal] == 1)
+            moves[mask] += 1
+            times[mask] += elapsed / max(mask.sum(), 1)
+            done |= terminal
+
+    return _gather(wins, moves, times, np.asarray(matchups), agents, boardsize)
+
+
+def _gather(wins, moves, times, matchups, agents, boardsize):
+    """Aggregate per-env outcomes by seat pattern (reference common.py:58-73)."""
+    names = np.array([name for name, _ in agents])
+    results = []
+    for p in matchup_patterns(matchups.shape[1]):
+        sel = (matchups == p).all(-1)
+        ws = wins[sel].sum(0)
+        results.append(
+            {
+                "names": tuple(names[p]),
+                "wins": tuple(float(x) for x in ws),
+                "moves": float(moves[sel].sum()),
+                "games": float(ws.sum()),
+                "times": float(times[sel].sum()),
+                "boardsize": int(boardsize),
+            }
+        )
+    return results

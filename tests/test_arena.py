@@ -1,0 +1,87 @@
+"""Arena tests: seat-balance with random agents (reference
+arena/common.py:108-115), mock-agent league accounting (reference
+arena/neural.py:341-415), and the rolling-arena ledger."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pandas as pd
+
+from boardlaw_tpu.arena import common, live, neural
+from boardlaw_tpu.envs import hex, validation
+from boardlaw_tpu.pavlov import runs, stats
+from boardlaw_tpu.pavlov.tests import mock_dir
+from boardlaw_tpu import train
+
+
+def _random_agent():
+    inner = validation.RandomAgent()
+
+    def agent(world, key, eval=False):
+        d = inner(world)
+        return {**d, "actions": jax.random.categorical(key, d["logits"], axis=-1)}
+
+    return agent
+
+
+def test_evaluate_winnerloser():
+    # seat 0 always wins: each pattern's seat-0 agent takes every game
+    world = validation.WinnerLoser.initial(4)
+    results = common.evaluate(world, {"one": _random_agent(), "two": _random_agent()})
+    assert results[0]["names"] == ("one", "two")
+    assert results[0]["wins"] == (2.0, 0.0)
+    assert results[1]["names"] == ("two", "one")
+    assert results[1]["wins"] == (2.0, 0.0)
+
+
+def test_evaluate_hex_random():
+    world = hex.Hex.initial(8, 3)
+    results = common.evaluate(
+        world, {"a": _random_agent(), "b": _random_agent()}, key=jax.random.PRNGKey(1)
+    )
+    total = sum(r["games"] for r in results)
+    assert total == 8  # every game finished
+    for r in results:
+        assert sum(r["wins"]) == r["games"]
+
+
+def test_league_accounting():
+    # 3 agents, every ordered pair plays exactly n_envs_per games
+    agents = {name: _random_agent() for name in ["a", "b", "c"]}
+    trials = neural.evaluate(boardsize=3, agents=agents, n_envs_per=2, n_envs=6)
+    pairs = {(r.black_agent, r.white_agent) for r in trials.itertuples()}
+    assert pairs == set(neural.all_matchups(["a", "b", "c"]))
+    games = trials.black_wins + trials.white_wins
+    assert (games == 2).all()
+
+
+def test_agent_roundtrip():
+    # save a run via train, reload it as an arena agent, play it
+    with mock_dir():
+        run = train.run(
+            boardsize=3, width=4, depth=1, n_envs=8, nodes=4,
+            mix_steps=8, buffer_len=4, max_steps=1, storer="time",
+        )
+        ag = common.agent(run)
+        assert ag is not None
+        world = common.worlds(run, 4)
+        decisions = ag(world, jax.random.PRNGKey(0), eval=True)
+        assert decisions["actions"].shape == (4,)
+
+        results = common.evaluate(world, {"net": ag, "rand": _random_agent()})
+        assert sum(r["games"] for r in results) == 4
+
+
+def test_rolling_arena():
+    with mock_dir():
+        run = train.run(
+            boardsize=3, width=4, depth=1, n_envs=8, nodes=4,
+            mix_steps=8, buffer_len=4, max_steps=1, storer="time",
+        )
+        arena = live.RollingArena(run, n_envs=4, ladder={"rollout-1": _random_agent()})
+        with stats.to_run(run):
+            rel = arena.play()
+        assert rel is not None
+        trials = live.ledger_trials(run)
+        assert trials.black_wins.sum() + trials.white_wins.sum() == 4
+        # the stat channel was written
+        assert "elo-arena" in stats.channels(run)
