@@ -61,6 +61,22 @@ def agent(run, idx=None, **kwargs):
     return MCTSAgent(eval_fn, **search)
 
 
+def sql_agent(agent_id, **kwargs):
+    """Rebuild an agent from its results-DB row, applying the row's
+    test-time search settings (reference arena/common.py:36-41)."""
+    from .. import sql
+
+    row = sql.agent_query().loc[agent_id]
+    return agent(row.run, int(row.idx), n_nodes=int(row.test_nodes), **kwargs)
+
+
+def sql_world(agent_id, n_envs):
+    from .. import sql
+
+    row = sql.agent_query().loc[agent_id]
+    return hex.Hex.initial(n_envs, int(row.boardsize))
+
+
 def _build_model(cfg):
     from ..train import build_model
 

@@ -296,6 +296,60 @@ class Random(Solitaire):
         return Hex.step(world, actions)
 
 
+# -- display ---------------------------------------------------------------
+
+def color_board(board, colors="obs"):
+    """Map cell labels to RGB (reference hex/__init__.py:12-22): by piece
+    colour ('obs') or with edge labels tinted ('board')."""
+    import matplotlib as mpl
+
+    black = (0, 0, 0.4)
+    white = (0, 0, 0.8)
+    tan = (0.07, 0.4, 0.8)
+    if colors == "obs":
+        hsv = [tan, black, white, black, black, white, white]
+    elif colors == "board":
+        hsv = [tan, black, white, (0.16, 0.2, 0.4), (0.33, 0.2, 0.4), (0.66, 0.2, 0.8), (0.72, 0.2, 0.8)]
+    else:
+        raise ValueError(colors)
+    rgb = np.stack([mpl.colors.hsv_to_rgb(c) for c in hsv])
+    return rgb[np.asarray(board)]
+
+
+def plot_board(colors, ax=None):
+    """Draw a hex board from an (S, S, 3) colour array (reference
+    hex/__init__.py:86-118, simplified: hexagon patches on offset rows)."""
+    import matplotlib.pyplot as plt
+    import matplotlib as mpl
+
+    ax = plt.subplots()[1] if ax is None else ax
+    ax.set_aspect(1)
+    S = colors.shape[0]
+    sin60 = np.sin(np.pi / 3)
+    radius = 0.5 / sin60
+
+    for r in range(S):
+        for c in range(S):
+            x = c + 0.5 * r
+            y = sin60 * (S - 1 - r)
+            patch = mpl.patches.RegularPolygon(
+                (x, y), numVertices=6, radius=radius,
+                facecolor=colors[r, c], edgecolor="k", linewidth=1,
+            )
+            ax.add_patch(patch)
+
+    ax.set_xlim(-1, 1.5 * S)
+    ax.set_ylim(-1, sin60 * S + 1)
+    ax.set_frame_on(False)
+    ax.set_xticks([])
+    ax.set_yticks([])
+    return ax
+
+
+def plot_worlds(world, e=0, ax=None, colors="obs"):
+    return plot_board(color_board(np.asarray(world.board[e]), colors), ax=ax)
+
+
 # -- test/analysis helpers -------------------------------------------------
 
 def board_size(s):
