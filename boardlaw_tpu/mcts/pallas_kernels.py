@@ -1,0 +1,327 @@
+"""Pallas TPU kernels for the MCTS hot path.
+
+Why these exist: the XLA formulation of descend/backup re-reads the whole
+(B, T, A) tree tensors once per tree LEVEL (per-env row gathers lower to
+full-tensor scans), so a 20-level descend costs ~80 full passes over HBM.
+These kernels stream each env-block's tree slice into VMEM ONCE and do the
+entire walk there:
+
+  descend:  grid over env blocks of E envs; all levels of the walk run on
+            VMEM-resident rows, vectorized (E, A) Newton solves on the VPU,
+            inverse-CDF sampling via a triangular-ones matmul on the MXU.
+            HBM traffic: one read of the tree slice per call.
+  backup:   same blocking; leaf->root walks update node and edge statistics
+            in VMEM, written back once via input/output aliasing.
+
+Semantics match mcts/search.py's XLA versions exactly (same regularized
+policy, same reference quirks) — `tests/test_pallas.py` asserts descend
+equality on identical rands and backup equality against the XLA kernels.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF_PROXY = -1e4
+
+
+def _solve_policy_rows(pi, q, lam, n_iters=16, tol=1e-3):
+    """Vectorized Newton solve on (E, A) rows — mirrors search.solve_policy."""
+    gap = jnp.maximum(lam * pi, 1e-4)
+    alpha = jnp.max(q + gap, axis=-1, keepdims=True)
+    floor = jnp.max(q, axis=-1, keepdims=True) + 1e-6
+    done = jnp.zeros_like(alpha, dtype=jnp.bool_)
+
+    for _ in range(n_iters):
+        denom = alpha - q
+        terms = lam * pi / denom
+        s = terms.sum(-1, keepdims=True)
+        g = (-terms / denom).sum(-1, keepdims=True)
+        err = s - 1.0
+        done = done | (err < tol)
+        alpha = jnp.maximum(alpha - jnp.where(done, 0.0, err / g), floor)
+
+    return lam * pi / (alpha - q)
+
+
+def _descend_kernel(
+    logits_ref, ne_ref, we_ref, ch_ref, term_ref, rands_ref, cp_ref, qb_ref,
+    parents_ref, actions_ref, *, E, T, A, n_actions,
+):
+    """Entire walk on VMEM-resident blocks; rows are extracted with one-hot
+    reductions over the node axis (Mosaic forbids dynamic element indexing,
+    and (E,T,A) masked reductions are cheap VPU work in VMEM)."""
+    qlo = qb_ref[0, 0]
+    qhi = qb_ref[0, 1]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (E, A), 1)
+    valid_lane = lane < n_actions
+    node_iota2 = jax.lax.broadcasted_iota(jnp.int32, (E, T), 1)
+    cp = cp_ref[:, 0:1]  # (E, 1)
+
+    # whole blocks, loaded once
+    L = logits_ref[:, :, :]
+    NE = ne_ref[:, :, :]
+    WE = we_ref[:, :, :]
+    CH = ch_ref[:, :, :].astype(jnp.float32)
+    TERM = term_ref[:, :]
+    RANDS = rands_ref[:, :]
+
+    def rows_of(block3, sel2):
+        # (E, A) = block3[e, t[e], :] via masked reduction over T
+        return (block3 * sel2[:, :, None]).sum(1)
+
+    def scalars_of(block2, sel2):
+        return (block2 * sel2).sum(-1)
+
+    def sel_of(t):
+        return (node_iota2 == t[:, None]).astype(jnp.float32)
+
+    def active_of(t):
+        term = scalars_of(TERM, sel_of(jnp.maximum(t, 0)))
+        return (t >= 0) & (term < 0.5)
+
+    def cond(carry):
+        t, parent, action = carry
+        return active_of(t).any()
+
+    def body(carry):
+        t, parent, action = carry
+        active = active_of(t)
+        safe_t = jnp.maximum(t, 0)
+        sel = sel_of(safe_t)
+
+        logits = rows_of(L, sel)
+        ne = rows_of(NE, sel)
+        we = rows_of(WE, sel)
+
+        pi = jnp.exp(logits)
+        expanded = ne > 0
+        q = jnp.where(expanded, (we / (ne + 1e-4) - qlo) / (qhi - qlo + 1e-4), 0.0)
+        counts = jnp.where(expanded, ne, jnp.where(valid_lane, 1.0, 0.0))
+        N = counts.sum(-1, keepdims=True)
+        lam = cp * N / (N + n_actions)
+
+        probs = _solve_policy_rows(pi, q, lam)
+
+        # inverse-CDF sample: log-shift prefix sum along lanes (exact f32 —
+        # an MXU triangular matmul would round at bf16 and flip samples)
+        cum = probs
+        shift = 1
+        while shift < A:
+            cum = cum + jnp.pad(cum, ((0, 0), (shift, 0)))[:, :A]
+            shift *= 2
+        rand = scalars_of(RANDS, sel)[:, None]
+        pos = probs > 0
+        ok = pos & (cum >= rand)
+        BIG = jnp.int32(A + 1)
+        first_ok = jnp.min(jnp.where(ok, lane, BIG), axis=-1)
+        last_pos = jnp.max(jnp.where(pos, lane, -1), axis=-1)
+        a = jnp.where(first_ok < BIG, first_ok, last_pos).astype(jnp.int32)
+
+        ch = rows_of(CH, sel)
+        onehot = (lane == a[:, None]).astype(jnp.float32)
+        child = (ch * onehot).sum(-1).astype(jnp.int32)
+
+        parent = jnp.where(active, safe_t, parent)
+        action = jnp.where(active, a, action)
+        t = jnp.where(active, child, t)
+        return t, parent, action
+
+    t0 = jnp.zeros((E,), jnp.int32)
+    p0 = jnp.zeros((E,), jnp.int32)
+    a0 = jnp.full((E,), -1, jnp.int32)
+    _, parents, actions = jax.lax.while_loop(cond, body, (t0, p0, a0))
+
+    parents_ref[:, 0] = parents
+    actions_ref[:, 0] = actions
+
+
+def descend(tree, rands, block_envs=8, interpret=False):
+    """Pallas descend: same contract as search.descend(tree, rands)."""
+    B, T, A = tree.children.shape
+    E = block_envs
+    assert B % E == 0, f"n_envs {B} must be divisible by block_envs {E}"
+
+    # q normalization bounds from node stats (parity with search._q_bounds)
+    qn = tree.w / (tree.n[..., None].astype(jnp.float32) + 1e-4)
+    q_bounds = jnp.stack([qn.min(), qn.max()])[None, :]  # (1, 2)
+
+    grid = (B // E,)
+    row_spec = pl.BlockSpec((E, T, A), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((E, T), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_descend_kernel, E=E, T=T, A=A, n_actions=A)
+
+    parents, actions = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            row_spec,  # logits
+            row_spec,  # n_edge
+            row_spec,  # w_edge
+            row_spec,  # children
+            vec_spec,  # terminal
+            vec_spec,  # rands
+            pl.BlockSpec((E, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),  # c_puct
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),  # q bounds
+        ],
+        out_specs=[
+            pl.BlockSpec((E, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        tree.logits.astype(jnp.float32),
+        tree.n_edge.astype(jnp.float32),
+        tree.w_edge.astype(jnp.float32),
+        tree.children,
+        tree.terminal.astype(jnp.float32),
+        rands.astype(jnp.float32),
+        tree.c_puct.astype(jnp.float32)[:, None],
+        q_bounds.astype(jnp.float32),
+    )
+    return parents[:, 0], actions[:, 0]
+
+
+def _backup_kernel(
+    vleaf_ref, leaves_ref, parents_ref, relation_ref, seats_ref, term_ref, rew_ref,
+    n_in, w_in, ne_in, we_in,
+    n_out, w_out, ne_out, we_out,
+    *, E, T, A, S, n_per_visit,
+):
+    """Vectorized leaf->root walk: per level, masked one-hot accumulation of
+    node and edge deltas, all in VMEM; written back once at the end."""
+    node_iota = jax.lax.broadcasted_iota(jnp.int32, (E, T), 1)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (E, A), 1)
+
+    PAR = parents_ref[:, :].astype(jnp.float32)
+    REL = relation_ref[:, :].astype(jnp.float32)
+    SEATS = seats_ref[:, :].astype(jnp.float32)
+    TERM = term_ref[:, :]
+    npv = float(n_per_visit)
+
+    def sel_of(t):
+        return (node_iota == t[:, None]).astype(jnp.float32)
+
+    def cond(carry):
+        current, v, dn, dw, dne, dwe = carry
+        return (current >= 0).any()
+
+    def body(carry):
+        current, v, dn, dw, dne, dwe = carry
+        active = current >= 0
+        sel = sel_of(jnp.maximum(current, 0)) * active[:, None].astype(jnp.float32)
+
+        term = (TERM * sel).sum(-1)
+        v = jnp.where(((term > 0.5) & active)[:, None], 0.0, v)
+        rew = jnp.stack([(rew_ref[:, :, s] * sel).sum(-1) for s in range(S)], -1)
+        v = v + jnp.where(active[:, None], rew, 0.0)
+
+        dn = dn + sel * npv
+        dw = dw + sel[:, :, None] * v[:, None, :]
+
+        parent = (PAR * sel).sum(-1).astype(jnp.int32) + jnp.where(active, 0, -1)
+        rel = (REL * sel).sum(-1).astype(jnp.int32)
+        has_edge = active & (parent >= 0)
+        selp = sel_of(jnp.maximum(parent, 0)) * has_edge[:, None].astype(jnp.float32)
+        seat_p = (SEATS * selp).sum(-1).astype(jnp.int32)
+        v_par = jnp.where(seat_p == 0, v[:, 0], v[:, S - 1])
+
+        sela = (lane_iota == rel[:, None]).astype(jnp.float32)
+        edge = selp[:, :, None] * sela[:, None, :]
+        dne = dne + edge * npv
+        dwe = dwe + edge * v_par[:, None, None]
+
+        current = jnp.where(active, parent, -1)
+        return current, v, dn, dw, dne, dwe
+
+    leaf = leaves_ref[:, 0]
+    v0 = vleaf_ref[:, :]
+    dn0 = jnp.zeros((E, T), jnp.float32)
+    dw0 = jnp.zeros((E, T, S), jnp.float32)
+    dne0 = jnp.zeros((E, T, A), jnp.float32)
+    dwe0 = jnp.zeros((E, T, A), jnp.float32)
+    _, _, dn, dw, dne, dwe = jax.lax.while_loop(
+        cond, body, (leaf, v0, dn0, dw0, dne0, dwe0)
+    )
+
+    n_out[:, :] = n_in[:, :] + dn
+    w_out[:, :, :] = w_in[:, :, :] + dw
+    ne_out[:, :, :] = ne_in[:, :, :] + dne
+    we_out[:, :, :] = we_in[:, :, :] + dwe
+
+
+def backup(tree, leaves, n_per_visit, block_envs=8, interpret=False):
+    """Pallas backup: same contract as search.backup(tree, leaves, npv)."""
+    B, T, S = tree.w.shape
+    A = tree.children.shape[-1]
+    E = block_envs
+    assert B % E == 0
+
+    envs = jnp.arange(B)
+    v0 = tree.v[envs, leaves]
+
+    grid = (B // E,)
+    spec_ta = pl.BlockSpec((E, T, A), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec_ts = pl.BlockSpec((E, T, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec_t = pl.BlockSpec((E, T), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec_s = pl.BlockSpec((E, S), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec_1 = pl.BlockSpec((E, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _backup_kernel, E=E, T=T, A=A, S=S, n_per_visit=n_per_visit
+    )
+
+    n_new, w_new, ne_new, we_new = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            spec_s,   # v at leaves
+            spec_1,   # leaves
+            spec_t,   # parents
+            spec_t,   # relation
+            spec_t,   # seats
+            spec_t,   # terminal (f32)
+            spec_ts,  # rewards
+            spec_t,   # n (f32)
+            spec_ts,  # w
+            spec_ta,  # n_edge
+            spec_ta,  # w_edge
+        ],
+        out_specs=[spec_t, spec_ts, spec_ta, spec_ta],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T), jnp.float32),
+            jax.ShapeDtypeStruct((B, T, S), jnp.float32),
+            jax.ShapeDtypeStruct((B, T, A), jnp.float32),
+            jax.ShapeDtypeStruct((B, T, A), jnp.float32),
+        ],
+        input_output_aliases={7: 0, 8: 1, 9: 2, 10: 3},
+        interpret=interpret,
+    )(
+        v0.astype(jnp.float32),
+        leaves.astype(jnp.int32)[:, None],
+        tree.parents,
+        tree.relation,
+        tree.seats,
+        tree.terminal.astype(jnp.float32),
+        tree.rewards.astype(jnp.float32),
+        tree.n.astype(jnp.float32),
+        tree.w.astype(jnp.float32),
+        tree.n_edge.astype(jnp.float32),
+        tree.w_edge.astype(jnp.float32),
+    )
+    return tree.replace(
+        n=jnp.round(n_new).astype(tree.n.dtype),
+        w=w_new.astype(tree.w.dtype),
+        n_edge=ne_new.astype(tree.n_edge.dtype),
+        w_edge=we_new.astype(tree.w_edge.dtype),
+    )

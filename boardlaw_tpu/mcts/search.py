@@ -47,6 +47,17 @@ class MCTSConfig:
     alpha_scale: float = 10.0
     backup_n: str = "seats"  # 'seats' = reference behaviour, 'visits' = fixed
     tree_dtype: object = jnp.float32  # storage dtype for logits
+    use_pallas: object = None  # None = auto (on TPU), True/False to force
+    pallas_block_envs: int = 32  # descend blocks
+    pallas_backup_envs: int = 8  # backup blocks (more live buffers -> smaller)
+
+
+def _pallas_enabled(cfg, B):
+    if cfg.use_pallas is not None:
+        return bool(cfg.use_pallas)
+    return (
+        jax.devices()[0].platform == "tpu" and B % cfg.pallas_block_envs == 0
+    )
 
 
 class Tree(struct.PyTreeNode):
@@ -373,7 +384,14 @@ def simulate(tree, eval_fn, key, cfg: MCTSConfig):
     k_rand, k_eval = jax.random.split(key)
 
     rands = jax.random.uniform(k_rand, (B, T))
-    parents, actions = descend(tree, rands)
+    if _pallas_enabled(cfg, B):
+        from . import pallas_kernels
+
+        parents, actions = pallas_kernels.descend(
+            tree, rands, block_envs=cfg.pallas_block_envs
+        )
+    else:
+        parents, actions = descend(tree, rands)
 
     # Reuse the existing child slot if this (parent, action) edge was already
     # expanded (terminal transitions stop descents early) — else allocate slot
@@ -408,6 +426,12 @@ def simulate(tree, eval_fn, key, cfg: MCTSConfig):
     )
 
     n_per_visit = tree.w.shape[-1] if cfg.backup_n == "seats" else 1
+    if _pallas_enabled(cfg, B):
+        from . import pallas_kernels
+
+        return pallas_kernels.backup(
+            tree, leaves, n_per_visit, block_envs=cfg.pallas_backup_envs
+        )
     return backup(tree, leaves, n_per_visit)
 
 

@@ -34,7 +34,7 @@ from . import learning, storage as bstorage
 from .envs import hex
 from .mcts import MCTSConfig, mcts as run_mcts, root as mcts_root, n_leaves
 from .models.networks import FCModel
-from .pavlov import logs, runs, stats, storage as pstorage
+from .pavlov import device as pdevice, logs, runs, stats, storage as pstorage
 
 log = getLogger(__name__)
 
@@ -399,6 +399,7 @@ def run(
                     stats.rate("step-rate.learner", 1)
                     stats.cumsum("count.samples", cfg.n_envs)
                     stats.mean("n-trajs", aux["n-trajs"])
+                pdevice.device(15)  # reference stats.gpu(device, 15), main.py:190
                 log.info(f"step {int(state.step)}")
 
                 finished = storer.step(state_dict(state, cfg), cfg.n_envs)

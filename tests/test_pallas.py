@@ -1,0 +1,89 @@
+"""Pallas kernel equivalence vs the XLA reference implementations, in
+interpreter mode on CPU (the real-TPU path is exercised by bench.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from boardlaw_tpu.mcts import search as S
+from boardlaw_tpu.mcts import pallas_kernels as PK
+
+
+def _random_tree(rng, B, T, A, Sn=2, c_puct=1.0):
+    children = np.full((B, T, A), -1, np.int32)
+    parents = np.full((B, T), -1, np.int32)
+    relation = np.full((B, T), -1, np.int32)
+    seats = rng.integers(0, Sn, (B, T)).astype(np.int32)
+    terminal = np.zeros((B, T), bool)
+    for b in range(B):
+        for c in range(1, T):
+            p = rng.integers(0, c)
+            free = np.flatnonzero(children[b, p] == -1)
+            if len(free) == 0:
+                continue
+            a = rng.choice(free)
+            children[b, p, a] = c
+            parents[b, c] = p
+            relation[b, c] = a
+            terminal[b, c] = rng.random() < 0.15
+
+    logits = rng.normal(0, 1, (B, T, A)).astype(np.float32)
+    logits -= np.log(np.exp(logits).sum(-1, keepdims=True))
+    n = rng.integers(1, 20, (B, T)).astype(np.int32)
+    w = rng.normal(0, 2, (B, T, Sn)).astype(np.float32)
+    v = rng.normal(0, 1, (B, T, Sn)).astype(np.float32)
+    rewards = rng.normal(0, 0.5, (B, T, Sn)).astype(np.float32)
+
+    n_edge = np.zeros((B, T, A), np.float32)
+    w_edge = np.zeros((B, T, A), np.float32)
+    for b in range(B):
+        for t in range(T):
+            for a in range(A):
+                c = children[b, t, a]
+                if c > -1:
+                    n_edge[b, t, a] = n[b, c]
+                    w_edge[b, t, a] = w[b, c, seats[b, t]]
+
+    return S.Tree(
+        children=jnp.asarray(children), parents=jnp.asarray(parents),
+        relation=jnp.asarray(relation), worlds=None,
+        seats=jnp.asarray(seats), terminal=jnp.asarray(terminal),
+        rewards=jnp.asarray(rewards), logits=jnp.asarray(logits),
+        v=jnp.asarray(v), n=jnp.asarray(n), w=jnp.asarray(w),
+        n_edge=jnp.asarray(n_edge), w_edge=jnp.asarray(w_edge),
+        c_puct=jnp.full((B,), c_puct, jnp.float32), sim=jnp.array(T, jnp.int32),
+    )
+
+
+@pytest.mark.parametrize("seed,c_puct", [(0, 1.0), (1, 0.0625), (2, 10.0)])
+def test_descend_matches_xla(seed, c_puct):
+    rng = np.random.default_rng(seed)
+    B, T, A = 16, 12, 7
+    tree = _random_tree(rng, B, T, A, c_puct=c_puct)
+    rands = jax.random.uniform(jax.random.PRNGKey(seed), (B, T))
+
+    p_xla, a_xla = S.descend(tree, rands)
+    p_pal, a_pal = PK.descend(tree, rands, block_envs=8, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(p_xla), np.asarray(p_pal))
+    np.testing.assert_array_equal(np.asarray(a_xla), np.asarray(a_pal))
+
+
+@pytest.mark.parametrize("npv", [1, 2])
+def test_backup_matches_xla(npv):
+    rng = np.random.default_rng(3)
+    B, T, A = 16, 12, 7
+    tree = _random_tree(rng, B, T, A)
+    leaves = jnp.asarray(rng.integers(0, T, B), jnp.int32)
+
+    out_xla = S.backup(tree, leaves, npv)
+    out_pal = PK.backup(tree, leaves, npv, block_envs=8, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(out_xla.n), np.asarray(out_pal.n))
+    np.testing.assert_allclose(np.asarray(out_xla.w), np.asarray(out_pal.w), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_xla.n_edge), np.asarray(out_pal.n_edge), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_xla.w_edge), np.asarray(out_pal.w_edge), atol=1e-5
+    )
