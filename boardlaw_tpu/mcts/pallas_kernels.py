@@ -10,8 +10,9 @@ entire walk there:
             VMEM-resident rows, vectorized (E, A) Newton solves on the VPU,
             inverse-CDF sampling via a triangular-ones matmul on the MXU.
             HBM traffic: one read of the tree slice per call.
-  backup:   same blocking; leaf->root walks update node and edge statistics
-            in VMEM, written back once via input/output aliasing.
+  backup:   same blocking; leaf->root walks accumulate (B, T) node deltas
+            in VMEM; edge tensors are updated outside with one scatter each
+            (edge stats mirror child node stats through parents/relation).
 
 Semantics match mcts/search.py's XLA versions exactly (same regularized
 policy, same reference quirks) — `tests/test_pallas.py` asserts descend
@@ -193,6 +194,118 @@ def descend(tree, rands, block_envs=8, interpret=False):
 
 
 def _backup_kernel(
+    vleaf_ref, leaves_ref, parents_ref, term_ref, rew_ref,
+    dn_ref, dw_ref,
+    *, E, T, S, n_per_visit,
+):
+    """Vectorized leaf->root walk accumulating only the small (E,T) node
+    deltas in VMEM; edge updates are routed outside (see `backup`)."""
+    node_iota = jax.lax.broadcasted_iota(jnp.int32, (E, T), 1)
+
+    PAR = parents_ref[:, :].astype(jnp.float32)
+    TERM = term_ref[:, :]
+    npv = float(n_per_visit)
+
+    def sel_of(t):
+        return (node_iota == t[:, None]).astype(jnp.float32)
+
+    def cond(carry):
+        current, v, dn, dw = carry
+        return (current >= 0).any()
+
+    def body(carry):
+        current, v, dn, dw = carry
+        active = current >= 0
+        sel = sel_of(jnp.maximum(current, 0)) * active[:, None].astype(jnp.float32)
+
+        term = (TERM * sel).sum(-1)
+        v = jnp.where(((term > 0.5) & active)[:, None], 0.0, v)
+        rew = jnp.stack([(rew_ref[:, :, s] * sel).sum(-1) for s in range(S)], -1)
+        v = v + jnp.where(active[:, None], rew, 0.0)
+
+        dn = dn + sel * npv
+        dw = dw + sel[:, :, None] * v[:, None, :]
+
+        parent = (PAR * sel).sum(-1).astype(jnp.int32) + jnp.where(active, 0, -1)
+        current = jnp.where(active, parent, -1)
+        return current, v, dn, dw
+
+    leaf = leaves_ref[:, 0]
+    v0 = vleaf_ref[:, :]
+    dn0 = jnp.zeros((E, T), jnp.float32)
+    dw0 = jnp.zeros((E, T, S), jnp.float32)
+    _, _, dn, dw = jax.lax.while_loop(cond, body, (leaf, v0, dn0, dw0))
+
+    dn_ref[:, :] = dn
+    dw_ref[:, :, :] = dw
+
+
+def backup(tree, leaves, n_per_visit, block_envs=64, interpret=False):
+    """Pallas backup: same contract as search.backup(tree, leaves, npv).
+
+    The kernel walks paths and emits (B,T) node deltas; node and edge tensors
+    are then updated with vectorized adds / one scatter each (edge stats
+    mirror child node stats through (parents, relation))."""
+    B, T, S = tree.w.shape
+    E = block_envs
+    assert B % E == 0
+
+    envs = jnp.arange(B)
+    v0 = tree.v[envs, leaves]
+
+    grid = (B // E,)
+    spec_ts = pl.BlockSpec((E, T, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec_t = pl.BlockSpec((E, T), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec_s = pl.BlockSpec((E, S), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec_1 = pl.BlockSpec((E, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_backup_kernel, E=E, T=T, S=S, n_per_visit=n_per_visit)
+
+    dn, dw = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            spec_s,   # v at leaves
+            spec_1,   # leaves
+            spec_t,   # parents
+            spec_t,   # terminal (f32)
+            spec_ts,  # rewards
+        ],
+        out_specs=[spec_t, spec_ts],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T), jnp.float32),
+            jax.ShapeDtypeStruct((B, T, S), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        v0.astype(jnp.float32),
+        leaves.astype(jnp.int32)[:, None],
+        tree.parents,
+        tree.terminal.astype(jnp.float32),
+        tree.rewards.astype(jnp.float32),
+    )
+
+    # apply node deltas + route onto parent edges (matches search.backup)
+    has_edge = tree.parents >= 0
+    safe_p = jnp.clip(tree.parents, 0)
+    safe_r = jnp.clip(tree.relation, 0)
+    seat_p = jnp.take_along_axis(tree.seats, safe_p, axis=1)
+    dw_parent = jnp.take_along_axis(
+        dw, jnp.clip(seat_p, 0, S - 1)[..., None], axis=2
+    )[..., 0]
+    b_idx = jnp.broadcast_to(envs[:, None], (B, T))
+
+    return tree.replace(
+        n=tree.n + jnp.round(dn).astype(tree.n.dtype),
+        w=tree.w + dw,
+        n_edge=tree.n_edge.at[b_idx, safe_p, safe_r].add(jnp.where(has_edge, dn, 0.0)),
+        w_edge=tree.w_edge.at[b_idx, safe_p, safe_r].add(
+            jnp.where(has_edge, dw_parent, 0.0)
+        ),
+    )
+
+
+def _backup_dense_kernel(
     vleaf_ref, leaves_ref, parents_ref, relation_ref, seats_ref, term_ref, rew_ref,
     n_in, w_in, ne_in, we_in,
     n_out, w_out, ne_out, we_out,
@@ -260,8 +373,11 @@ def _backup_kernel(
     we_out[:, :, :] = we_in[:, :, :] + dwe
 
 
-def backup(tree, leaves, n_per_visit, block_envs=8, interpret=False):
-    """Pallas backup: same contract as search.backup(tree, leaves, npv)."""
+def backup_dense(tree, leaves, n_per_visit, block_envs=8, interpret=False):
+    """Dense-accumulation Pallas backup: node AND edge deltas accumulated
+    in VMEM with in-place aliasing. Fastest inside the simulate scan (the
+    delta-scatter variant pays two XLA scatters per sim); needs small blocks
+    (more live buffers)."""
     B, T, S = tree.w.shape
     A = tree.children.shape[-1]
     E = block_envs
@@ -278,7 +394,7 @@ def backup(tree, leaves, n_per_visit, block_envs=8, interpret=False):
     spec_1 = pl.BlockSpec((E, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
-        _backup_kernel, E=E, T=T, A=A, S=S, n_per_visit=n_per_visit
+        _backup_dense_kernel, E=E, T=T, A=A, S=S, n_per_visit=n_per_visit
     )
 
     n_new, w_new, ne_new, we_new = pl.pallas_call(

@@ -49,7 +49,8 @@ class MCTSConfig:
     tree_dtype: object = jnp.float32  # storage dtype for logits
     use_pallas: object = None  # None = auto (on TPU), True/False to force
     pallas_block_envs: int = 32  # descend blocks
-    pallas_backup_envs: int = 8  # backup blocks (more live buffers -> smaller)
+    pallas_backup: str = "dense"  # 'dense' (in-VMEM edge deltas) | 'delta' | 'xla'
+    pallas_backup_envs: int = 8  # backup blocks
 
 
 def _pallas_enabled(cfg, B):
@@ -316,23 +317,28 @@ def backup(tree, leaves, n_per_visit):
 
     n_per_visit: how much each visit adds to n — n_seats replicates the
     reference's per-seat increment (see module docstring), 1 is the fix.
+
+    TPU note: the walk only accumulates small (B,T)-sized node deltas; the
+    big (B,T,A) edge tensors are updated ONCE afterwards, because an edge's
+    stats are exactly its child node's stats routed through (parents,
+    relation): n_edge[b, p(c), rel(c)] += dn[b, c], and similarly for w at
+    the parent's seat. That keeps the per-level loop off the big tensors.
     """
     B, T, S = tree.w.shape
     A = tree.children.shape[-1]
+    envs = jnp.arange(B)
 
     v0 = _take_node(tree.v, leaves)  # (B,S)
     current0 = leaves.astype(jnp.int32)
     dn0 = jnp.zeros((B, T), jnp.float32)
     dw0 = jnp.zeros((B, T, S), jnp.float32)
-    dne0 = jnp.zeros((B, T, A), jnp.float32)
-    dwe0 = jnp.zeros((B, T, A), jnp.float32)
 
     def cond(carry):
-        _, current, _, _, _, _ = carry
+        _, current, _, _ = carry
         return (current != -1).any()
 
     def body(carry):
-        v, current, dn, dw, dne, dwe = carry
+        v, current, dn, dw = carry
         active = current != -1
         safe = jnp.clip(current, 0)
 
@@ -345,29 +351,31 @@ def backup(tree, leaves, n_per_visit):
         dw = dw + onehot_c[:, :, None] * v[:, None, :]
 
         parent = _take_node(tree.parents, safe)
-        rel = _take_node(tree.relation, safe)
-        has_edge = active & (parent != -1)
-        safe_p = jnp.clip(parent, 0)
-        seat_p = _take_node(tree.seats, safe_p)
-        v_for_parent = _take_action(v, jnp.clip(seat_p, 0, S - 1))
-
-        onehot_p = jax.nn.one_hot(safe_p, T, dtype=jnp.float32) * has_edge[:, None]
-        onehot_a = jax.nn.one_hot(jnp.clip(rel, 0), A, dtype=jnp.float32)
-        edge_mask = onehot_p[:, :, None] * onehot_a[:, None, :]
-        dne = dne + edge_mask * n_per_visit
-        dwe = dwe + edge_mask * v_for_parent[:, None, None]
-
         current = jnp.where(active, parent, -1)
-        return v, current, dn, dw, dne, dwe
+        return v, current, dn, dw
 
-    _, _, dn, dw, dne, dwe = jax.lax.while_loop(
-        cond, body, (v0, current0, dn0, dw0, dne0, dwe0)
+    _, _, dn, dw = jax.lax.while_loop(cond, body, (v0, current0, dn0, dw0))
+
+    # route the node deltas onto the parent edges: one scatter-add per tensor
+    has_edge = tree.parents >= 0  # (B,T)
+    safe_p = jnp.clip(tree.parents, 0)
+    safe_r = jnp.clip(tree.relation, 0)
+    seat_p = jnp.take_along_axis(tree.seats, safe_p, axis=1)  # (B,T)
+    dw_parent = jnp.take_along_axis(
+        dw, jnp.clip(seat_p, 0, S - 1)[..., None], axis=2
+    )[..., 0]
+
+    b_idx = jnp.broadcast_to(envs[:, None], (B, T))
+    n_edge = tree.n_edge.at[b_idx, safe_p, safe_r].add(jnp.where(has_edge, dn, 0.0))
+    w_edge = tree.w_edge.at[b_idx, safe_p, safe_r].add(
+        jnp.where(has_edge, dw_parent, 0.0)
     )
+
     return tree.replace(
         n=tree.n + jnp.round(dn).astype(tree.n.dtype),
         w=tree.w + dw,
-        n_edge=tree.n_edge + dne,
-        w_edge=tree.w_edge + dwe,
+        n_edge=n_edge,
+        w_edge=w_edge,
     )
 
 
@@ -426,12 +434,15 @@ def simulate(tree, eval_fn, key, cfg: MCTSConfig):
     )
 
     n_per_visit = tree.w.shape[-1] if cfg.backup_n == "seats" else 1
-    if _pallas_enabled(cfg, B):
+    if _pallas_enabled(cfg, B) and cfg.pallas_backup != "xla":
         from . import pallas_kernels
 
-        return pallas_kernels.backup(
-            tree, leaves, n_per_visit, block_envs=cfg.pallas_backup_envs
+        fn = (
+            pallas_kernels.backup_dense
+            if cfg.pallas_backup == "dense"
+            else pallas_kernels.backup
         )
+        return fn(tree, leaves, n_per_visit, block_envs=cfg.pallas_backup_envs)
     return backup(tree, leaves, n_per_visit)
 
 

@@ -69,6 +69,7 @@ class TrainConfig:
     dtype: str = "float32"  # network compute dtype ('bfloat16' on TPU)
     tree_dtype: str = "float32"  # MCTS tree logits storage
     buffer_dtype: str = "float32"  # replay logits storage
+    use_pallas: object = None  # None = auto, True/False to force (MCTS kernels)
 
     @property
     def compute_dtype(self):
@@ -80,12 +81,14 @@ class TrainConfig:
             c_puct=self.c_puct,
             noise_eps=self.noise_eps,
             tree_dtype=jnp.dtype(self.tree_dtype),
+            use_pallas=self.use_pallas,
         )
 
 
 class TrainState(struct.PyTreeNode):
     worlds: object
-    buffer: dict  # leaves (buffer_len, n_envs, ...)
+    buffer: dict  # leaves (buffer_len, n_envs, ...), circular over axis 0
+    ptr: jnp.ndarray  # next write slot in the circular buffer
     params: dict
     opt_state: object
     key: jnp.ndarray
@@ -158,10 +161,16 @@ def make_train(cfg: TrainConfig):
         )
         return jax.tree.map(lambda s: jnp.zeros((T,) + s.shape, s.dtype), record)
 
-    def push(buffer, record):
-        return jax.tree.map(
-            lambda buf, r: jnp.roll(buf, -1, axis=0).at[-1].set(r), buffer, record
-        )
+    def push(buffer, ptr, record):
+        # circular write: one slot updated in place (a roll would copy the
+        # whole ~GB buffer every actor step — and large fused roll+scan
+        # programs fault this TPU runtime)
+        return jax.tree.map(lambda buf, r: buf.at[ptr].set(r), buffer, record)
+
+    def ordered(buffer, ptr):
+        # time-ordered view, oldest..newest (slot ptr is the oldest)
+        idx = (ptr + jnp.arange(T)) % T
+        return jax.tree.map(lambda buf: jnp.take(buf, idx, axis=0), buffer)
 
     def init_params(key):
         world = hex.Hex.initial(1, cfg.boardsize)
@@ -177,27 +186,40 @@ def make_train(cfg: TrainConfig):
         return TrainState(
             worlds=worlds,
             buffer=buffer,
+            ptr=jnp.array(0, jnp.int32),
             params=params,
             opt_state=opt_state,
             key=k_loop,
             step=jnp.array(0, jnp.int32),
         )
 
-    @jax.jit
-    def warmup(state):
-        """Fill the buffer with buffer_len actor steps (no learning) — the
-        reference's initial `while len(buffer) < buffer_len` (main.py:174)."""
-
+    @partial(jax.jit, static_argnums=1)
+    def _warmup_chunk(state, k):
         def body(carry, _):
-            worlds, buffer, key = carry
+            worlds, buffer, ptr, key = carry
             key, sub = jax.random.split(key)
             worlds, record = actor_record(state.params, worlds, sub)
-            return (worlds, push(buffer, record), key), None
+            return (worlds, push(buffer, ptr, record), (ptr + 1) % T, key), None
 
-        (worlds, buffer, key), _ = jax.lax.scan(
-            body, (state.worlds, state.buffer, state.key), None, length=T
+        (worlds, buffer, ptr, key), _ = jax.lax.scan(
+            body, (state.worlds, state.buffer, state.ptr, state.key), None, length=k
         )
-        return state.replace(worlds=worlds, buffer=buffer, key=key)
+        return state.replace(worlds=worlds, buffer=buffer, ptr=ptr, key=key)
+
+    def warmup(state, chunk=16):
+        """Fill the buffer with buffer_len actor steps (no learning) — the
+        reference's initial `while len(buffer) < buffer_len` (main.py:174).
+
+        Runs as a host loop of <=`chunk`-step jitted scans: a single scan
+        chaining 64 full searches (each with nested while_loops) aborts this
+        TPU runtime — 32 works, 64 faults, independent of array sizes.
+        """
+        remaining = T
+        while remaining > 0:
+            k = min(chunk, remaining)
+            state = _warmup_chunk(state, k)
+            remaining -= k
+        return state
 
     def losses(params, batch):
         worlds = batch["worlds"]
@@ -236,17 +258,19 @@ def make_train(cfg: TrainConfig):
         key, k_actor, k_sample = jax.random.split(state.key, 3)
 
         worlds, record = actor_record(state.params, state.worlds, k_actor)
-        buffer = push(state.buffer, record)
+        buffer = push(state.buffer, state.ptr, record)
+        ptr = (state.ptr + 1) % T
+        obuf = ordered(buffer, ptr)
 
         # value targets over the whole window, bootstrapped at the end
         terminal = jnp.broadcast_to(
-            buffer["terminal"][..., None], buffer["rewards"].shape
+            obuf["terminal"][..., None], obuf["rewards"].shape
         )
-        rtg = learning.reward_to_go(buffer["rewards"], buffer["v"], terminal)
+        rtg = learning.reward_to_go(obuf["rewards"], obuf["v"], terminal)
 
         # one random timestep per env (reference main.py:169)
         t_idx = jax.random.randint(k_sample, (B,), 0, T)
-        batch = jax.tree.map(lambda x: x[t_idx, envs], {**buffer, "reward_to_go": rtg})
+        batch = jax.tree.map(lambda x: x[t_idx, envs], {**obuf, "reward_to_go": rtg})
 
         (loss, aux), grads = jax.value_and_grad(losses, has_aux=True)(state.params, batch)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
@@ -258,7 +282,7 @@ def make_train(cfg: TrainConfig):
         # chunk telemetry (reference main.py:28-59)
         tail_terminal = record["terminal"]
         tail_rewards = record["rewards"]
-        tb = buffer["terminal"][..., None]
+        tb = obuf["terminal"][..., None]
         aux.update(
             {
                 "loss.total": loss,
@@ -270,9 +294,9 @@ def make_train(cfg: TrainConfig):
                 "wins.seat-0": (tail_rewards[:, 0] == 1).sum(),
                 "wins.seat-1": (tail_rewards[:, 1] == 1).sum(),
                 "mcts-n-leaves": record["n_leaves"].mean(),
-                "corr.terminal": _masked_corr(buffer["v"], buffer["rewards"], tb),
+                "corr.terminal": _masked_corr(obuf["v"], obuf["rewards"], tb),
                 "corr.penultimate": _masked_corr(
-                    buffer["v"][:-1], buffer["rewards"][1:], tb[1:]
+                    obuf["v"][:-1], obuf["rewards"][1:], tb[1:]
                 ),
                 "noise-scale": learning.noise_scale(B, opt_state),
             }
@@ -282,6 +306,7 @@ def make_train(cfg: TrainConfig):
             state.replace(
                 worlds=worlds,
                 buffer=buffer,
+                ptr=ptr,
                 params=params,
                 opt_state=opt_state,
                 key=key,
