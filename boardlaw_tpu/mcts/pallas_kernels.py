@@ -64,17 +64,16 @@ def _descend_kernel(
     node_iota2 = jax.lax.broadcasted_iota(jnp.int32, (E, T), 1)
     cp = cp_ref[:, 0:1]  # (E, 1)
 
-    # whole blocks, loaded once
-    L = logits_ref[:, :, :]
-    NE = ne_ref[:, :, :]
-    WE = we_ref[:, :, :]
-    CH = ch_ref[:, :, :].astype(jnp.float32)
     TERM = term_ref[:, :]
     RANDS = rands_ref[:, :]
 
-    def rows_of(block3, sel2):
-        # (E, A) = block3[e, t[e], :] via masked reduction over T
-        return (block3 * sel2[:, :, None]).sum(1)
+    def rows_of(ref, t):
+        # (E, A) = ref[e, t[e], :] — dynamic SUBLANE slices are supported by
+        # Mosaic (dynamic lane indexing is not), so per-env row extraction is
+        # O(A) instead of an O(T*A) masked reduction per level
+        return jnp.concatenate(
+            [ref[e, pl.ds(t[e], 1), :] for e in range(E)], axis=0
+        )
 
     def scalars_of(block2, sel2):
         return (block2 * sel2).sum(-1)
@@ -96,9 +95,9 @@ def _descend_kernel(
         safe_t = jnp.maximum(t, 0)
         sel = sel_of(safe_t)
 
-        logits = rows_of(L, sel)
-        ne = rows_of(NE, sel)
-        we = rows_of(WE, sel)
+        logits = rows_of(logits_ref, safe_t)
+        ne = rows_of(ne_ref, safe_t)
+        we = rows_of(we_ref, safe_t)
 
         pi = jnp.exp(logits)
         expanded = ne > 0
@@ -124,7 +123,7 @@ def _descend_kernel(
         last_pos = jnp.max(jnp.where(pos, lane, -1), axis=-1)
         a = jnp.where(first_ok < BIG, first_ok, last_pos).astype(jnp.int32)
 
-        ch = rows_of(CH, sel)
+        ch = rows_of(ch_ref, safe_t).astype(jnp.float32)
         onehot = (lane == a[:, None]).astype(jnp.float32)
         child = (ch * onehot).sum(-1).astype(jnp.int32)
 
@@ -311,10 +310,12 @@ def _backup_dense_kernel(
     n_out, w_out, ne_out, we_out,
     *, E, T, A, S, n_per_visit,
 ):
-    """Vectorized leaf->root walk: per level, masked one-hot accumulation of
-    node and edge deltas, all in VMEM; written back once at the end."""
+    """Leaf->root walk with IN-PLACE edge updates: node-axis bookkeeping uses
+    cheap (E,T) mask ops; the (E,T,A) edge tensors are touched only by
+    per-env dynamic-sublane row read-modify-writes (O(A) per level), never by
+    full-block passes. Outputs alias inputs."""
     node_iota = jax.lax.broadcasted_iota(jnp.int32, (E, T), 1)
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (E, A), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, A), 1)
 
     PAR = parents_ref[:, :].astype(jnp.float32)
     REL = relation_ref[:, :].astype(jnp.float32)
@@ -322,15 +323,20 @@ def _backup_dense_kernel(
     TERM = term_ref[:, :]
     npv = float(n_per_visit)
 
+    # Output VMEM blocks start UNINITIALIZED — input/output aliasing is an
+    # HBM-buffer property, not a VMEM-block one. Seed them before any RMW.
+    ne_out[:, :, :] = ne_in[:, :, :]
+    we_out[:, :, :] = we_in[:, :, :]
+
     def sel_of(t):
         return (node_iota == t[:, None]).astype(jnp.float32)
 
     def cond(carry):
-        current, v, dn, dw, dne, dwe = carry
+        current, v, dn, dw = carry
         return (current >= 0).any()
 
     def body(carry):
-        current, v, dn, dw, dne, dwe = carry
+        current, v, dn, dw = carry
         active = current >= 0
         sel = sel_of(jnp.maximum(current, 0)) * active[:, None].astype(jnp.float32)
 
@@ -344,40 +350,40 @@ def _backup_dense_kernel(
 
         parent = (PAR * sel).sum(-1).astype(jnp.int32) + jnp.where(active, 0, -1)
         rel = (REL * sel).sum(-1).astype(jnp.int32)
-        has_edge = active & (parent >= 0)
-        selp = sel_of(jnp.maximum(parent, 0)) * has_edge[:, None].astype(jnp.float32)
+        selp = sel_of(jnp.maximum(parent, 0))
         seat_p = (SEATS * selp).sum(-1).astype(jnp.int32)
         v_par = jnp.where(seat_p == 0, v[:, 0], v[:, S - 1])
 
-        sela = (lane_iota == rel[:, None]).astype(jnp.float32)
-        edge = selp[:, :, None] * sela[:, None, :]
-        dne = dne + edge * npv
-        dwe = dwe + edge * v_par[:, None, None]
+        # scalar extraction must come from 32-bit vectors (Mosaic constraint);
+        # updates are unconditional with a zero gate instead of pl.when —
+        # predicated dynamic-sublane RMW miscompiles on current Mosaic
+        active_i = active.astype(jnp.int32)
+        for e in range(E):
+            gate = jax.lax.select(
+                (active_i[e] > 0) & (parent[e] >= 0), 1.0, 0.0
+            )
+            p = jnp.maximum(parent[e], 0)
+            onehot = (lane == rel[e]).astype(jnp.float32) * gate
+            ne_out[e, pl.ds(p, 1), :] = ne_out[e, pl.ds(p, 1), :] + onehot * npv
+            we_out[e, pl.ds(p, 1), :] = we_out[e, pl.ds(p, 1), :] + onehot * v_par[e]
 
         current = jnp.where(active, parent, -1)
-        return current, v, dn, dw, dne, dwe
+        return current, v, dn, dw
 
     leaf = leaves_ref[:, 0]
     v0 = vleaf_ref[:, :]
     dn0 = jnp.zeros((E, T), jnp.float32)
     dw0 = jnp.zeros((E, T, S), jnp.float32)
-    dne0 = jnp.zeros((E, T, A), jnp.float32)
-    dwe0 = jnp.zeros((E, T, A), jnp.float32)
-    _, _, dn, dw, dne, dwe = jax.lax.while_loop(
-        cond, body, (leaf, v0, dn0, dw0, dne0, dwe0)
-    )
+    _, _, dn, dw = jax.lax.while_loop(cond, body, (leaf, v0, dn0, dw0))
 
     n_out[:, :] = n_in[:, :] + dn
     w_out[:, :, :] = w_in[:, :, :] + dw
-    ne_out[:, :, :] = ne_in[:, :, :] + dne
-    we_out[:, :, :] = we_in[:, :, :] + dwe
 
 
 def backup_dense(tree, leaves, n_per_visit, block_envs=8, interpret=False):
-    """Dense-accumulation Pallas backup: node AND edge deltas accumulated
-    in VMEM with in-place aliasing. Fastest inside the simulate scan (the
-    delta-scatter variant pays two XLA scatters per sim); needs small blocks
-    (more live buffers)."""
+    """Dense-in-VMEM Pallas backup: all statistics updated inside the kernel
+    with input/output aliasing; fastest inside the simulate scan (the delta
+    variant pays two XLA scatters per sim)."""
     B, T, S = tree.w.shape
     A = tree.children.shape[-1]
     E = block_envs

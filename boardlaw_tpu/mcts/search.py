@@ -50,7 +50,7 @@ class MCTSConfig:
     use_pallas: object = None  # None = auto (on TPU), True/False to force
     pallas_block_envs: int = 32  # descend blocks
     pallas_backup: str = "dense"  # 'dense' (in-VMEM edge deltas) | 'delta' | 'xla'
-    pallas_backup_envs: int = 8  # backup blocks
+    pallas_backup_envs: int = 16  # backup blocks
 
 
 def _pallas_enabled(cfg, B):

@@ -87,3 +87,23 @@ def test_backup_matches_xla(npv):
     np.testing.assert_allclose(
         np.asarray(out_xla.w_edge), np.asarray(out_pal.w_edge), atol=1e-5
     )
+
+
+@pytest.mark.parametrize("npv", [1, 2])
+def test_backup_dense_matches_xla(npv):
+    rng = np.random.default_rng(5)
+    B, T, A = 16, 12, 7
+    tree = _random_tree(rng, B, T, A)
+    leaves = jnp.asarray(rng.integers(0, T, B), jnp.int32)
+
+    out_xla = S.backup(tree, leaves, npv)
+    out_pal = PK.backup_dense(tree, leaves, npv, block_envs=8, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(out_xla.n), np.asarray(out_pal.n))
+    np.testing.assert_allclose(np.asarray(out_xla.w), np.asarray(out_pal.w), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_xla.n_edge), np.asarray(out_pal.n_edge), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_xla.w_edge), np.asarray(out_pal.w_edge), atol=1e-5
+    )
