@@ -300,3 +300,18 @@ def test_dummy_agent():
     decisions = jax.jit(lambda w, k: agent(w, k))(world, jax.random.PRNGKey(0))
     assert decisions["actions"].shape == (4,)
     assert np.asarray(decisions["n_sims"]).tolist() == [0, 0, 0, 0]
+
+
+def test_backup_visits_mode():
+    # the lambda_N fix: n increments once per visit, not once per seat
+    # (reference Issue #15; see MCTSConfig.backup_n)
+    tree = backup_tree(
+        v=[[1.0, -1.0], [2.0, -2.0]], w=[[0.0, 0.0], [0.0, 0.0]], n=[0, 0],
+        rewards=[[0.0, 0.0], [0.0, 0.0]], parents=[-1, 0], terminal=[False, False],
+    )
+    out_ref_mode = jax.jit(M.backup, static_argnums=2)(tree, jnp.array([1]), 2)
+    out_fixed = jax.jit(M.backup, static_argnums=2)(tree, jnp.array([1]), 1)
+    assert np.asarray(out_ref_mode.n).tolist() == [[2, 2]]
+    assert np.asarray(out_fixed.n).tolist() == [[1, 1]]
+    # w identical in both modes
+    np.testing.assert_allclose(np.asarray(out_ref_mode.w), np.asarray(out_fixed.w))

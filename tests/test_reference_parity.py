@@ -32,7 +32,7 @@ needs_engines = pytest.mark.skipif(
 
 
 @needs_engines
-@pytest.mark.parametrize("boardsize", [3, 5, 9])
+@pytest.mark.parametrize("boardsize", [3, 5, 9, 11])
 def test_hex_exact_parity(boardsize):
     rng = np.random.default_rng(1234 + boardsize)
     B = 16
