@@ -45,3 +45,25 @@ def tail(run, n=20):
             with open(p) as f:
                 lines.extend(f.readlines())
     return "".join(lines[-n:])
+
+
+def follow(run, poll=1.0):
+    """Generator yielding new log lines as any of the run's processes write
+    them — the reference's multi-process live tailer (logs.py:84-148) as a
+    pull-based iterator (use `for line in logs.follow(run): ...`)."""
+    import time
+
+    offsets = {}
+    while True:
+        emitted = False
+        for p in paths(run):
+            if not p.exists():
+                continue
+            with open(p) as f:
+                f.seek(offsets.get(p, 0))
+                for line in f:
+                    emitted = True
+                    yield line
+                offsets[p] = f.tell()
+        if not emitted:
+            time.sleep(poll)

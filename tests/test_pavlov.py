@@ -133,3 +133,14 @@ def test_logs():
         with logs.to_run(run):
             logging.getLogger("demo").info("hello from the run")
         assert "hello from the run" in logs.tail(run)
+
+
+def test_logs_follow():
+    with mock_dir():
+        run = runs.new_run()
+        with logs.to_run(run):
+            logging.getLogger("demo").info("line one")
+            gen = logs.follow(run, poll=0.01)
+            assert "line one" in next(gen)
+            logging.getLogger("demo").info("line two")
+            assert "line two" in next(gen)
