@@ -25,7 +25,7 @@ import pandas as pd
 from .. import activelo
 from ..envs import validation
 from ..mcts import MCTSAgent
-from ..pavlov import json_store, runs, stats
+from ..pavlov import json_store, logs, runs, stats
 from . import common
 
 log = getLogger(__name__)
@@ -157,10 +157,20 @@ class RollingArena:
             return None
 
         mu = self.soln.mu
-        sigma = pd.Series(np.sqrt(np.diagonal(self.soln.Sigma.values)), mu.index)
-        rel = mu[LATEST] - mu.drop(LATEST).max()
-        stats.mean_std("elo-arena", float(rel), float(sigma[LATEST]))
-        log.info(f"arena: latest elo {rel:+.2f} ± {sigma[LATEST]:.2f} (vs {challenger})")
+        best = mu.drop(LATEST).idxmax()
+        rel = mu[LATEST] - mu[best]
+        # covariance-aware std of the pairwise gap (reference
+        # live/analysis.py:14-21) — the marginal std ignores correlations
+        Sigma = self.soln.Sigma
+        var = (
+            Sigma.loc[LATEST, LATEST]
+            - Sigma.loc[LATEST, best]
+            - Sigma.loc[best, LATEST]
+            + Sigma.loc[best, best]
+        )
+        sigma_d = float(np.sqrt(max(var, 0)))
+        stats.mean_std("elo-arena", float(rel), sigma_d)
+        log.info(f"arena: latest elo {rel:+.2f} ± {sigma_d:.2f} vs {best} (played {challenger})")
         return rel
 
 
@@ -169,7 +179,10 @@ def _loop(run, interval):
 
     jax.config.update("jax_platforms", "cpu")
     arena = RollingArena(run)
-    with stats.to_run(run):
+    # logs.to_run gives the child its own logs.{n}.txt in the run dir, so
+    # arena lines are visible to `logs.from_run`/`follow` (reference
+    # live/__init__.py:195 enters both contexts)
+    with logs.to_run(run), stats.to_run(run):
         while True:
             try:
                 arena.play()

@@ -82,13 +82,15 @@ class Storer:
         self.start = None
         self._last_report = time.time()
 
-    def _payload(self, state_dict):
+    def payload(self, state_dict):
         return {
             "agent": state_dict,
             "n_flops": float(self.n_flops),
             "n_samples": float(self.n_samples),
             "runtime": time.time() - (self.start or time.time()),
         }
+
+    _payload = payload
 
     def _report(self, target_desc):
         if time.time() > self._last_report + 60:
@@ -98,6 +100,20 @@ class Storer:
             )
 
     def step(self, state_dict, n_samples):
+        raise NotImplementedError
+
+    def seed(self, n_flops, n_samples, runtime=0.0):
+        """Continue counting from a resumed run's checkpoint payload: restore
+        the cumulative counters and advance past savepoints already taken."""
+        self.n_flops = float(n_flops)
+        self.n_samples = float(n_samples)
+        self._seed_runtime(runtime)
+        self._advance()
+
+    def _seed_runtime(self, runtime):
+        pass
+
+    def _advance(self):
         raise NotImplementedError
 
 
@@ -126,6 +142,13 @@ class FlopsStorer(Storer):
             self.n_samples > self.samples_bound
         )
 
+    def _advance(self):
+        while (
+            self.next_point < len(self.savepoints)
+            and self.n_flops >= self.savepoints[self.next_point]
+        ):
+            self.next_point += 1
+
 
 class TimeStorer(Storer):
     """Snapshot at log-spaced wall-clock times; the timer starts at the first
@@ -150,3 +173,15 @@ class TimeStorer(Storer):
         pstorage.throttled_latest(self.run, payload, self.latest_throttle)
         self._report(f"snapshot {self.next_point}/{len(self.savepoints)}")
         return self.next_point >= len(self.savepoints)
+
+    def _seed_runtime(self, runtime):
+        # backdate the clock so elapsed time continues from the old run
+        self.start = time.time() - float(runtime)
+
+    def _advance(self):
+        elapsed = time.time() - self.start if self.start is not None else 0.0
+        while (
+            self.next_point < len(self.savepoints)
+            and elapsed >= self.savepoints[self.next_point]
+        ):
+            self.next_point += 1

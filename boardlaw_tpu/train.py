@@ -379,10 +379,11 @@ def run(
 
     state = init(jax.random.PRNGKey(cfg.seed))
 
+    resumed_payload = None
     if resume is not None:
         run_name = runs.resolve(resume)
-        sd = pstorage.load_latest(run_name)
-        state = load_state_dict(state, sd["agent"])
+        resumed_payload = pstorage.load_latest(run_name)
+        state = load_state_dict(state, resumed_payload["agent"])
         log.info(f"resumed {run_name} at step {int(state.step)}")
     else:
         run_name = runs.new_run(
@@ -404,6 +405,14 @@ def run(
     flops_per = bstorage.flops_per_sample(state.params, cfg.n_nodes)
     storer_cls = bstorage.TimeStorer if storer == "time" else bstorage.FlopsStorer
     storer = storer_cls(run_name, boardsize, flops_per)
+    if resumed_payload is not None:
+        # continue the sample/FLOP accounting exactly: seed the counters from
+        # the checkpoint payload and skip savepoints the old run already took
+        storer.seed(
+            n_flops=resumed_payload.get("n_flops", 0.0),
+            n_samples=resumed_payload.get("n_samples", 0.0),
+            runtime=resumed_payload.get("runtime", 0.0),
+        )
 
     live = None
     if arena:
@@ -418,8 +427,12 @@ def run(
                 aux = jax.device_get(aux)
                 with stats.defer():
                     for k, v in aux.items():
-                        if k.startswith(("loss", "corr", "kl", "rel-entropy", "v.", "policy-conc", "mcts", "noise", "step.", "grad.")):
+                        if k.startswith(("loss", "corr", "kl", "rel-entropy", "v.", "policy-conc", "mcts", "noise", "step.", "grad.", "resid")):
                             stats.mean(k, v)
+                    # win fractions per finished trajectory (reference main.py:46-49)
+                    n_trajs = max(float(aux["n-trajs"]), 1.0)
+                    stats.mean("wins.seat-0", aux["wins.seat-0"], n_trajs)
+                    stats.mean("wins.seat-1", aux["wins.seat-1"], n_trajs)
                     stats.rate("sample-rate.actor", cfg.n_envs)
                     stats.rate("step-rate.learner", 1)
                     stats.cumsum("count.samples", cfg.n_envs)
@@ -431,7 +444,9 @@ def run(
                 if max_steps is not None and int(state.step) >= max_steps:
                     finished = True
                 if finished:
-                    pstorage.save_latest(run_name, {"agent": state_dict(state, cfg)})
+                    # full payload (incl. n_flops/n_samples/runtime) so a
+                    # resumed run continues the accounting exactly
+                    pstorage.save_latest(run_name, storer.payload(state_dict(state, cfg)))
                     break
     finally:
         if live is not None:

@@ -62,6 +62,25 @@ def test_tiny_run_and_resume():
         )
         sd2 = storage.load_latest(run)
         assert int(np.asarray(sd2["agent"]["step"])) == 4
+        # sample/FLOP accounting continues rather than restarting at zero:
+        # 2 steps x 8 envs before resume, +2 after = 32 total samples
+        assert sd2["n_samples"] == 32
+        assert sd2["n_flops"] > sd["n_flops"] > 0
+
+
+def test_storer_seed_advances_savepoints():
+    from boardlaw_tpu.storage import FlopsStorer
+
+    with mock_dir():
+        from boardlaw_tpu.pavlov import runs
+
+        run = runs.new_run(description="seed-test")
+        storer = FlopsStorer(run, boardsize=3, flops_per=1.0)
+        mid = storer.savepoints[5]
+        storer.seed(n_flops=mid, n_samples=123.0, runtime=7.0)
+        assert storer.n_samples == 123.0
+        # savepoints at or below the restored FLOP count are already taken
+        assert storer.next_point == 6
 
 
 def test_flops_per_sample():

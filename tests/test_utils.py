@@ -1,5 +1,5 @@
 """Utility-layer tests: pools, profiling gates, memory accounting, archive,
-monitoring, recurrence."""
+monitoring."""
 import logging
 import os
 
@@ -8,7 +8,7 @@ import pytest
 
 from boardlaw_tpu.pavlov import archive, monitoring, runs, stats
 from boardlaw_tpu.pavlov.tests import mock_dir
-from boardlaw_tpu.utils import memory, parallel, profiling, recurrence
+from boardlaw_tpu.utils import memory, parallel, profiling
 
 
 def _square(x):
@@ -59,15 +59,6 @@ def test_memory_stats():
     df = m.pandas()
     assert list(df.label) == ["a", "b"]
 
-
-def test_recurrence():
-    st = recurrence.State()
-    assert st.get(lambda: 5) == 5
-    with st.temp(9):
-        assert st.get() == 9
-    assert st.get() == 5
-    st.clear()
-    assert st.get() is None
 
 
 def test_archive_roundtrip(tmp_path):
