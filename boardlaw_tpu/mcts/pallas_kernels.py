@@ -30,6 +30,26 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF_PROXY = -1e4
 
 
+def _shardwrap(inner, mesh, axis, n_batch_args, n_rep_args, n_outs):
+    """Wrap a pallas_call invocation in shard_map over the env axis.
+
+    pallas_call is a custom call XLA cannot partition on its own; under a
+    mesh, each shard must run the kernel on its local env block. The first
+    `n_batch_args` operands shard on axis 0; the next `n_rep_args` are
+    replicated (e.g. the global q-bounds, computed OUTSIDE so normalization
+    stays bit-identical to the single-chip semantics).
+    """
+    if mesh is None:
+        return inner
+    from jax.sharding import PartitionSpec as P
+
+    in_specs = tuple([P(axis)] * n_batch_args + [P()] * n_rep_args)
+    out_specs = tuple([P(axis)] * n_outs) if n_outs > 1 else P(axis)
+    return jax.shard_map(
+        inner, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+    )
+
+
 def _solve_policy_rows(pi, q, lam, n_iters=16, tol=1e-3):
     """Vectorized Newton solve on (E, A) rows — mirrors search.solve_policy."""
     gap = jnp.maximum(lam * pi, 1e-4)
@@ -141,45 +161,57 @@ def _descend_kernel(
     actions_ref[:, 0] = actions
 
 
-def descend(tree, rands, block_envs=8, interpret=False):
-    """Pallas descend: same contract as search.descend(tree, rands)."""
+def descend(tree, rands, block_envs=8, interpret=False, mesh=None, mesh_axis="dp"):
+    """Pallas descend: same contract as search.descend(tree, rands).
+
+    Under `mesh`, the kernel runs per-shard via shard_map (env axis split
+    over `mesh_axis`); q-bounds stay a GLOBAL reduction so results are
+    bit-identical to the single-chip path.
+    """
     B, T, A = tree.children.shape
     E = block_envs
-    assert B % E == 0, f"n_envs {B} must be divisible by block_envs {E}"
+    shards = mesh.shape[mesh_axis] if mesh is not None else 1
+    assert (B // shards) % E == 0, (
+        f"per-shard envs {B}//{shards} must be divisible by block_envs {E}"
+    )
 
     # q normalization bounds from node stats (parity with search._q_bounds)
     qn = tree.w / (tree.n[..., None].astype(jnp.float32) + 1e-4)
     q_bounds = jnp.stack([qn.min(), qn.max()])[None, :]  # (1, 2)
 
-    grid = (B // E,)
-    row_spec = pl.BlockSpec((E, T, A), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    vec_spec = pl.BlockSpec((E, T), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    def inner(logits, ne, we, ch, term, rands, cp, qb):
+        Bl = logits.shape[0]
+        grid = (Bl // E,)
+        row_spec = pl.BlockSpec((E, T, A), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        vec_spec = pl.BlockSpec((E, T), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        kernel = functools.partial(_descend_kernel, E=E, T=T, A=A, n_actions=A)
+        parents, actions = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                row_spec,  # logits
+                row_spec,  # n_edge
+                row_spec,  # w_edge
+                row_spec,  # children
+                vec_spec,  # terminal
+                vec_spec,  # rands
+                pl.BlockSpec((E, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),  # c_puct
+                pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),  # q bounds
+            ],
+            out_specs=[
+                pl.BlockSpec((E, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((E, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((Bl, 1), jnp.int32),
+                jax.ShapeDtypeStruct((Bl, 1), jnp.int32),
+            ],
+            interpret=interpret,
+        )(logits, ne, we, ch, term, rands, cp, qb)
+        return parents, actions
 
-    kernel = functools.partial(_descend_kernel, E=E, T=T, A=A, n_actions=A)
-
-    parents, actions = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            row_spec,  # logits
-            row_spec,  # n_edge
-            row_spec,  # w_edge
-            row_spec,  # children
-            vec_spec,  # terminal
-            vec_spec,  # rands
-            pl.BlockSpec((E, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),  # c_puct
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),  # q bounds
-        ],
-        out_specs=[
-            pl.BlockSpec((E, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((E, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, 1), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1), jnp.int32),
-        ],
-        interpret=interpret,
-    )(
+    inner = _shardwrap(inner, mesh, mesh_axis, n_batch_args=7, n_rep_args=1, n_outs=2)
+    parents, actions = inner(
         tree.logits.astype(jnp.float32),
         tree.n_edge.astype(jnp.float32),
         tree.w_edge.astype(jnp.float32),
@@ -239,7 +271,7 @@ def _backup_kernel(
     dw_ref[:, :, :] = dw
 
 
-def backup(tree, leaves, n_per_visit, block_envs=64, interpret=False):
+def backup(tree, leaves, n_per_visit, block_envs=64, interpret=False, mesh=None, mesh_axis="dp"):
     """Pallas backup: same contract as search.backup(tree, leaves, npv).
 
     The kernel walks paths and emits (B,T) node deltas; node and edge tensors
@@ -247,36 +279,34 @@ def backup(tree, leaves, n_per_visit, block_envs=64, interpret=False):
     mirror child node stats through (parents, relation))."""
     B, T, S = tree.w.shape
     E = block_envs
-    assert B % E == 0
+    shards = mesh.shape[mesh_axis] if mesh is not None else 1
+    assert (B // shards) % E == 0
 
     envs = jnp.arange(B)
     v0 = tree.v[envs, leaves]
 
-    grid = (B // E,)
-    spec_ts = pl.BlockSpec((E, T, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    spec_t = pl.BlockSpec((E, T), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    spec_s = pl.BlockSpec((E, S), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    spec_1 = pl.BlockSpec((E, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    def inner(v0, leaves2, parents, term, rew):
+        Bl = v0.shape[0]
+        grid = (Bl // E,)
+        spec_ts = pl.BlockSpec((E, T, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        spec_t = pl.BlockSpec((E, T), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        spec_s = pl.BlockSpec((E, S), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        spec_1 = pl.BlockSpec((E, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        kernel = functools.partial(_backup_kernel, E=E, T=T, S=S, n_per_visit=n_per_visit)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[spec_s, spec_1, spec_t, spec_t, spec_ts],
+            out_specs=[spec_t, spec_ts],
+            out_shape=[
+                jax.ShapeDtypeStruct((Bl, T), jnp.float32),
+                jax.ShapeDtypeStruct((Bl, T, S), jnp.float32),
+            ],
+            interpret=interpret,
+        )(v0, leaves2, parents, term, rew)
 
-    kernel = functools.partial(_backup_kernel, E=E, T=T, S=S, n_per_visit=n_per_visit)
-
-    dn, dw = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            spec_s,   # v at leaves
-            spec_1,   # leaves
-            spec_t,   # parents
-            spec_t,   # terminal (f32)
-            spec_ts,  # rewards
-        ],
-        out_specs=[spec_t, spec_ts],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, T), jnp.float32),
-            jax.ShapeDtypeStruct((B, T, S), jnp.float32),
-        ],
-        interpret=interpret,
-    )(
+    inner = _shardwrap(inner, mesh, mesh_axis, n_batch_args=5, n_rep_args=0, n_outs=2)
+    dn, dw = inner(
         v0.astype(jnp.float32),
         leaves.astype(jnp.int32)[:, None],
         tree.parents,
@@ -380,55 +410,50 @@ def _backup_dense_kernel(
     w_out[:, :, :] = w_in[:, :, :] + dw
 
 
-def backup_dense(tree, leaves, n_per_visit, block_envs=8, interpret=False):
+def backup_dense(tree, leaves, n_per_visit, block_envs=8, interpret=False, mesh=None, mesh_axis="dp"):
     """Dense-in-VMEM Pallas backup: all statistics updated inside the kernel
     with input/output aliasing; fastest inside the simulate scan (the delta
     variant pays two XLA scatters per sim)."""
     B, T, S = tree.w.shape
     A = tree.children.shape[-1]
     E = block_envs
-    assert B % E == 0
+    shards = mesh.shape[mesh_axis] if mesh is not None else 1
+    assert (B // shards) % E == 0
 
     envs = jnp.arange(B)
     v0 = tree.v[envs, leaves]
 
-    grid = (B // E,)
-    spec_ta = pl.BlockSpec((E, T, A), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    spec_ts = pl.BlockSpec((E, T, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    spec_t = pl.BlockSpec((E, T), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    spec_s = pl.BlockSpec((E, S), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    spec_1 = pl.BlockSpec((E, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    def inner(v0, leaves2, parents, relation, seats, term, rew, n, w, ne, we):
+        Bl = v0.shape[0]
+        grid = (Bl // E,)
+        spec_ta = pl.BlockSpec((E, T, A), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        spec_ts = pl.BlockSpec((E, T, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        spec_t = pl.BlockSpec((E, T), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        spec_s = pl.BlockSpec((E, S), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        spec_1 = pl.BlockSpec((E, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        kernel = functools.partial(
+            _backup_dense_kernel, E=E, T=T, A=A, S=S, n_per_visit=n_per_visit
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                spec_s, spec_1, spec_t, spec_t, spec_t, spec_t, spec_ts,
+                spec_t, spec_ts, spec_ta, spec_ta,
+            ],
+            out_specs=[spec_t, spec_ts, spec_ta, spec_ta],
+            out_shape=[
+                jax.ShapeDtypeStruct((Bl, T), jnp.float32),
+                jax.ShapeDtypeStruct((Bl, T, S), jnp.float32),
+                jax.ShapeDtypeStruct((Bl, T, A), jnp.float32),
+                jax.ShapeDtypeStruct((Bl, T, A), jnp.float32),
+            ],
+            input_output_aliases={7: 0, 8: 1, 9: 2, 10: 3},
+            interpret=interpret,
+        )(v0, leaves2, parents, relation, seats, term, rew, n, w, ne, we)
 
-    kernel = functools.partial(
-        _backup_dense_kernel, E=E, T=T, A=A, S=S, n_per_visit=n_per_visit
-    )
-
-    n_new, w_new, ne_new, we_new = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            spec_s,   # v at leaves
-            spec_1,   # leaves
-            spec_t,   # parents
-            spec_t,   # relation
-            spec_t,   # seats
-            spec_t,   # terminal (f32)
-            spec_ts,  # rewards
-            spec_t,   # n (f32)
-            spec_ts,  # w
-            spec_ta,  # n_edge
-            spec_ta,  # w_edge
-        ],
-        out_specs=[spec_t, spec_ts, spec_ta, spec_ta],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, T), jnp.float32),
-            jax.ShapeDtypeStruct((B, T, S), jnp.float32),
-            jax.ShapeDtypeStruct((B, T, A), jnp.float32),
-            jax.ShapeDtypeStruct((B, T, A), jnp.float32),
-        ],
-        input_output_aliases={7: 0, 8: 1, 9: 2, 10: 3},
-        interpret=interpret,
-    )(
+    inner = _shardwrap(inner, mesh, mesh_axis, n_batch_args=11, n_rep_args=0, n_outs=4)
+    n_new, w_new, ne_new, we_new = inner(
         v0.astype(jnp.float32),
         leaves.astype(jnp.int32)[:, None],
         tree.parents,

@@ -47,10 +47,15 @@ class MCTSConfig:
     alpha_scale: float = 10.0
     backup_n: str = "seats"  # 'seats' = reference behaviour, 'visits' = fixed
     tree_dtype: object = jnp.float32  # storage dtype for logits
-    use_pallas: object = None  # None = auto (on TPU), True/False to force
+    # None = auto (on TPU), True/False to force, 'interpret' = Pallas kernels
+    # in interpreter mode (runs on CPU — used to exercise the real multi-chip
+    # shard_map+pallas path without TPU hardware)
+    use_pallas: object = None
     pallas_block_envs: int = 32  # descend blocks
     pallas_backup: str = "dense"  # 'dense' (in-VMEM edge deltas) | 'delta' | 'xla'
     pallas_backup_envs: int = 16  # backup blocks
+    mesh: object = None  # jax.sharding.Mesh — shard kernels via shard_map
+    mesh_axis: str = "dp"
 
 
 def _pallas_enabled(cfg, B):
@@ -59,6 +64,14 @@ def _pallas_enabled(cfg, B):
     return (
         jax.devices()[0].platform == "tpu" and B % cfg.pallas_block_envs == 0
     )
+
+
+def _pallas_kwargs(cfg):
+    return {
+        "interpret": cfg.use_pallas == "interpret",
+        "mesh": cfg.mesh,
+        "mesh_axis": cfg.mesh_axis,
+    }
 
 
 class Tree(struct.PyTreeNode):
@@ -396,7 +409,7 @@ def simulate(tree, eval_fn, key, cfg: MCTSConfig):
         from . import pallas_kernels
 
         parents, actions = pallas_kernels.descend(
-            tree, rands, block_envs=cfg.pallas_block_envs
+            tree, rands, block_envs=cfg.pallas_block_envs, **_pallas_kwargs(cfg)
         )
     else:
         parents, actions = descend(tree, rands)
@@ -442,7 +455,10 @@ def simulate(tree, eval_fn, key, cfg: MCTSConfig):
             if cfg.pallas_backup == "dense"
             else pallas_kernels.backup
         )
-        return fn(tree, leaves, n_per_visit, block_envs=cfg.pallas_backup_envs)
+        return fn(
+            tree, leaves, n_per_visit,
+            block_envs=cfg.pallas_backup_envs, **_pallas_kwargs(cfg),
+        )
     return backup(tree, leaves, n_per_visit)
 
 

@@ -68,20 +68,29 @@ class TrainConfig:
     seed: int = 0
     dtype: str = "float32"  # network compute dtype ('bfloat16' on TPU)
     tree_dtype: str = "float32"  # MCTS tree logits storage
-    buffer_dtype: str = "float32"  # replay logits storage
-    use_pallas: object = None  # None = auto, True/False to force (MCTS kernels)
+    # replay logits/prior storage — half precision like the reference's
+    # `decisions.half()` buffer (main.py:179); losses upcast to f32
+    buffer_dtype: str = "bfloat16"
+    # None = auto, True/False to force, 'interpret' for CPU interpreter mode
+    use_pallas: object = None
+    pallas_block_envs: int = 32
+    pallas_backup_envs: int = 16
 
     @property
     def compute_dtype(self):
         return jnp.dtype(self.dtype)
 
-    def mcts_config(self):
+    def mcts_config(self, mesh=None, mesh_axis="dp"):
         return MCTSConfig(
             n_nodes=self.n_nodes,
             c_puct=self.c_puct,
             noise_eps=self.noise_eps,
             tree_dtype=jnp.dtype(self.tree_dtype),
             use_pallas=self.use_pallas,
+            pallas_block_envs=self.pallas_block_envs,
+            pallas_backup_envs=self.pallas_backup_envs,
+            mesh=mesh,
+            mesh_axis=mesh_axis,
         )
 
 
@@ -118,11 +127,17 @@ def build_model(cfg: TrainConfig):
     )
 
 
-def make_train(cfg: TrainConfig):
-    """Build the jitted init/warmup/train_step functions for a config."""
+def make_train(cfg: TrainConfig, mesh=None):
+    """Build the jitted init/warmup/train_step functions for a config.
+
+    Pass a `jax.sharding.Mesh` to run the Pallas MCTS kernels per-shard via
+    shard_map (required for multi-chip — pallas_call is a custom call XLA
+    cannot partition on its own); the rest of the program partitions under
+    GSPMD from the state's shardings.
+    """
     model = build_model(cfg)
     opt = optax.adam(cfg.lr)
-    mcfg = cfg.mcts_config()
+    mcfg = cfg.mcts_config(mesh=mesh)
     B = cfg.n_envs
     T = cfg.buffer_len
     envs = jnp.arange(B)
@@ -167,10 +182,12 @@ def make_train(cfg: TrainConfig):
         # programs fault this TPU runtime)
         return jax.tree.map(lambda buf, r: buf.at[ptr].set(r), buffer, record)
 
-    def ordered(buffer, ptr):
-        # time-ordered view, oldest..newest (slot ptr is the oldest)
+    def ordered(tree, ptr):
+        # time-ordered view, oldest..newest (slot ptr is the oldest). Only
+        # ever applied to SMALL leaves (rewards/v/terminal) — reordering the
+        # full buffer would copy ~GBs every step.
         idx = (ptr + jnp.arange(T)) % T
-        return jax.tree.map(lambda buf: jnp.take(buf, idx, axis=0), buffer)
+        return jax.tree.map(lambda buf: jnp.take(buf, idx, axis=0), tree)
 
     def init_params(key):
         world = hex.Hex.initial(1, cfg.boardsize)
@@ -193,7 +210,7 @@ def make_train(cfg: TrainConfig):
             step=jnp.array(0, jnp.int32),
         )
 
-    @partial(jax.jit, static_argnums=1)
+    @partial(jax.jit, static_argnums=1, donate_argnums=0)
     def _warmup_chunk(state, k):
         def body(carry, _):
             worlds, buffer, ptr, key = carry
@@ -252,25 +269,36 @@ def make_train(cfg: TrainConfig):
         }
         return loss, aux
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=0)
     def train_step(state):
-        """One actor step + one learner step, fully fused (main.py:171-198)."""
+        """One actor step + one learner step, fully fused (main.py:171-198).
+
+        The state is donated: the circular buffer and optimizer state update
+        in place, so peak memory stays ~one copy of everything.
+        """
         key, k_actor, k_sample = jax.random.split(state.key, 3)
 
         worlds, record = actor_record(state.params, state.worlds, k_actor)
         buffer = push(state.buffer, state.ptr, record)
         ptr = (state.ptr + 1) % T
-        obuf = ordered(buffer, ptr)
 
-        # value targets over the whole window, bootstrapped at the end
-        terminal = jnp.broadcast_to(
-            obuf["terminal"][..., None], obuf["rewards"].shape
+        # value targets need only the SMALL time-ordered leaves ((T,B,S));
+        # the big logits/worlds leaves are gathered per sampled slot below
+        osmall = ordered(
+            {k: buffer[k] for k in ("rewards", "v", "terminal")}, ptr
         )
-        rtg = learning.reward_to_go(obuf["rewards"], obuf["v"], terminal)
+        terminal = jnp.broadcast_to(
+            osmall["terminal"][..., None], osmall["rewards"].shape
+        )
+        rtg = learning.reward_to_go(osmall["rewards"], osmall["v"], terminal)
 
-        # one random timestep per env (reference main.py:169)
+        # one random timestep per env (reference main.py:169) — gather the
+        # raw circular slot directly instead of materialising a reordered
+        # copy of the whole buffer
         t_idx = jax.random.randint(k_sample, (B,), 0, T)
-        batch = jax.tree.map(lambda x: x[t_idx, envs], {**obuf, "reward_to_go": rtg})
+        slot = (ptr + t_idx) % T
+        batch = jax.tree.map(lambda x: x[slot, envs], buffer)
+        batch["reward_to_go"] = rtg[t_idx, envs]
 
         (loss, aux), grads = jax.value_and_grad(losses, has_aux=True)(state.params, batch)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
@@ -282,7 +310,7 @@ def make_train(cfg: TrainConfig):
         # chunk telemetry (reference main.py:28-59)
         tail_terminal = record["terminal"]
         tail_rewards = record["rewards"]
-        tb = obuf["terminal"][..., None]
+        tb = osmall["terminal"][..., None]
         aux.update(
             {
                 "loss.total": loss,
@@ -294,9 +322,9 @@ def make_train(cfg: TrainConfig):
                 "wins.seat-0": (tail_rewards[:, 0] == 1).sum(),
                 "wins.seat-1": (tail_rewards[:, 1] == 1).sum(),
                 "mcts-n-leaves": record["n_leaves"].mean(),
-                "corr.terminal": _masked_corr(obuf["v"], obuf["rewards"], tb),
+                "corr.terminal": _masked_corr(osmall["v"], osmall["rewards"], tb),
                 "corr.penultimate": _masked_corr(
-                    obuf["v"][:-1], obuf["rewards"][1:], tb[1:]
+                    osmall["v"][:-1], osmall["rewards"][1:], tb[1:]
                 ),
                 "noise-scale": learning.noise_scale(B, opt_state),
             }
