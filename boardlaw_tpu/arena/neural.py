@@ -184,6 +184,95 @@ def evaluate(boardsize, agents, n_envs_per=4, n_envs=None, seed=0):
     return ev.play()
 
 
+# --------------------------------------------------------------------------
+# League farm-out: chunk jobs over a worker pool (reference neural.py:229-313)
+# --------------------------------------------------------------------------
+
+def max_envs(boardsize, n_nodes=64, memory_bytes=2 * 1024**3, safety=0.5):
+    """Memory-aware env-count cap for one evaluation job: each env's search
+    tree holds n_nodes rows of (A logits + A n_edge + A w_edge + A children)
+    f32 plus the per-node worlds — the TPU analog of the reference's
+    GPU-memory-aware chunk sizing (neural.py:296-313)."""
+    A = boardsize**2
+    per_env = n_nodes * (A * 16 + A + boardsize**2 + 64)
+    return max(int(memory_bytes * safety / per_env) // 2 * 2, 2)
+
+
+def chunk_jobs(specs, chunk_size):
+    """Split the agents x agents games matrix into diagonal chunks (round
+    robin inside one group) and skew chunks (all cross pairs of two groups) —
+    the reference's decomposition (neural.py:229-274). Each job touches at
+    most 2*chunk_size agents, bounding per-worker memory."""
+    names = list(specs)
+    groups = [names[i : i + chunk_size] for i in range(0, len(names), chunk_size)]
+    jobs = []
+    for i, g in enumerate(groups):
+        diag = all_matchups(g)
+        if diag:
+            jobs.append(({n: specs[n] for n in g}, diag))
+        for h in groups[i + 1 :]:
+            skew = [(b, w) for b in g for w in h] + [(b, w) for b in h for w in g]
+            jobs.append(({n: specs[n] for n in g + h}, skew))
+    return jobs
+
+
+def _run_chunk(args):
+    """One farm-out job: build the agents from their picklable specs and play
+    the chunk's matchups to completion. Module-level so it pickles."""
+    boardsize, specs, loader, matchups, n_envs_per, n_envs, seed = args
+    agents = {name: loader(spec) for name, spec in specs.items()}
+    ev = ChunkEvaluator(boardsize, n_envs, agents, matchups, n_envs_per, seed)
+    return ev.play()
+
+
+def run_agent_loader(spec):
+    """Default loader: spec = (run, snapshot-idx or None) loaded from run
+    storage (the reference loads chunk agents from SQL, neural.py:243-254)."""
+    from . import common
+
+    run, idx = spec
+    return common.agent(run, idx)
+
+
+def evaluate_gen(boardsize, specs, loader=run_agent_loader, n_envs_per=4,
+                 chunk_size=8, n_envs=None, memory_bytes=2 * 1024**3, seed=0):
+    """Generate the chunk-job argument tuples for a league over `specs`
+    (dict name -> picklable spec)."""
+    for k, (chunk_specs, matchups) in enumerate(chunk_jobs(specs, chunk_size)):
+        envs = n_envs or min(
+            len(matchups) * n_envs_per, max_envs(boardsize, memory_bytes=memory_bytes)
+        )
+        envs = max(envs - envs % 2, 2)
+        yield (boardsize, chunk_specs, loader, matchups, n_envs_per, envs, seed + k)
+
+
+def evaluate_parallel(boardsize, specs, loader=run_agent_loader, n_envs_per=4,
+                      chunk_size=8, n_envs=None, memory_bytes=2 * 1024**3,
+                      kind="device", max_workers=2, seed=0):
+    """Farm the league's chunk jobs over a worker pool and merge the trials
+    (reference neural.py:256-274 used a 2-worker CUDA pool; here workers are
+    platform-pinned processes — CPU by default so they never contend for the
+    training chip)."""
+    from ..utils import parallel as upar
+
+    job_args = list(evaluate_gen(
+        boardsize, specs, loader, n_envs_per, chunk_size, n_envs, memory_bytes, seed
+    ))
+    start = time.time()
+    frames = upar.parallel(_run_chunk, job_args, kind=kind, max_workers=max_workers)
+    out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        columns=["black_agent", "white_agent", "black_wins", "white_wins"]
+    )
+    out = out.groupby(["black_agent", "white_agent"], as_index=False).sum()
+    games = (out.black_wins + out.white_wins).sum() if len(out) else 0
+    dt = time.time() - start
+    log.info(
+        f"league farm-out: {len(job_args)} jobs, {games:.0f} games in {dt:.1f}s "
+        f"({games / max(dt, 1e-9):.1f} games/s)"
+    )
+    return out
+
+
 class MockAgent:
     """Plays its own id every time (reference neural.py:341-358)."""
 

@@ -67,3 +67,43 @@ def follow(run, poll=1.0):
                 offsets[p] = f.tell()
         if not emitted:
             time.sleep(poll)
+
+
+@contextmanager
+def from_run(run, out=None, poll=0.5):
+    """Background-thread forwarder: tails every process's log file of `run`
+    and re-prints new lines while the context is open. A KeyboardInterrupt in
+    the reader thread is propagated to the main thread, so ctrl-C'ing a
+    monitor stops the run it watches (reference logs.py:150-193)."""
+    import _thread
+    import sys
+    import threading
+    import time as _time
+
+    run = runs.resolve(run)
+    out = out or sys.stdout
+    stop = threading.Event()
+
+    def _pump():
+        offsets = {}
+        try:
+            while not stop.is_set():
+                for p in paths(run):
+                    if not p.exists():
+                        continue
+                    with open(p) as f:
+                        f.seek(offsets.get(p, 0))
+                        for line in f:
+                            out.write(line)
+                        offsets[p] = f.tell()
+                _time.sleep(poll)
+        except KeyboardInterrupt:
+            _thread.interrupt_main()
+
+    t = threading.Thread(target=_pump, daemon=True, name=f"logs-from-{run}")
+    t.start()
+    try:
+        yield t
+    finally:
+        stop.set()
+        t.join(timeout=2 * poll + 1)

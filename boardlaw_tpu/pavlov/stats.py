@@ -56,7 +56,10 @@ def defer():
 def _to_scalar(x):
     # jax/np arrays -> python scalars at write time (the only host syncs)
     if hasattr(x, "item"):
-        return x.item()
+        try:
+            return x.item()
+        except (ValueError, TypeError):  # non-scalar array (e.g. quantiles)
+            return np.asarray(x)
     return x
 
 
@@ -203,7 +206,93 @@ class Silent(Kind):
         return df.resample(rule).mean()
 
 
-KINDS = {k.name: k for k in [Last(), Max(), Mean(), StdMean(), Cumsum(), Rate(), TimeAverage(), Duty(), Silent()]}
+class Std(Kind):
+    """Standard deviation of the raw values in each window (reference
+    kinds.py std)."""
+
+    name = "std"
+
+    def write(self, channel, x):
+        _emit(self.name, channel, x=x)
+
+    def resample(self, df, rule):
+        return df.x.resample(rule).std()
+
+
+class Period(Kind):
+    """Average seconds between events (reference kinds.py period — the
+    inverse of rate)."""
+
+    name = "period"
+
+    def write(self, channel, count=1):
+        _emit(self.name, channel, count=count)
+
+    def resample(self, df, rule):
+        secs = pd.Timedelta(rule).total_seconds()
+        return secs / df["count"].resample(rule).sum()
+
+
+class MaxPercent(Kind):
+    """Max of a [0,1] fraction, displayed as a percentage (reference
+    kinds.py max_percent)."""
+
+    name = "max_percent"
+    percent = True
+
+    def write(self, channel, x):
+        _emit(self.name, channel, x=x)
+
+    def resample(self, df, rule):
+        return df.x.resample(rule).max()
+
+
+class MeanPercent(Kind):
+    """Weighted mean of a [0,1] fraction, displayed as a percentage
+    (reference kinds.py mean_percent)."""
+
+    name = "mean_percent"
+    percent = True
+
+    def write(self, channel, total, count=1):
+        _emit(self.name, channel, total=total, count=count)
+
+    def resample(self, df, rule):
+        r = df.resample(rule).sum()
+        return r.total / r["count"]
+
+
+class Quantiles(Kind):
+    """A vector of quantile values per write; each quantile is resampled by
+    mean (reference kinds.py quantiles)."""
+
+    name = "quantiles"
+
+    def write(self, channel, xs):
+        xs = np.asarray(_to_scalar(xs)).reshape(-1)
+        _emit(self.name, channel, **{f"q{i}": float(v) for i, v in enumerate(xs)})
+
+    def resample(self, df, rule):
+        return df.resample(rule).mean()
+
+
+class Line(Kind):
+    """Raw line-plot channel: values pass through untouched within each
+    window (reference kinds.py line)."""
+
+    name = "line"
+
+    def write(self, channel, x):
+        _emit(self.name, channel, x=x)
+
+    def resample(self, df, rule):
+        return df.x.resample(rule).mean()
+
+
+KINDS = {k.name: k for k in [
+    Last(), Max(), Mean(), StdMean(), Cumsum(), Rate(), TimeAverage(), Duty(),
+    Silent(), Std(), Period(), MaxPercent(), MeanPercent(), Quantiles(), Line(),
+]}
 
 
 # Public writer API: stats.mean('loss.policy', x), stats.rate('sample-rate', n), ...
@@ -224,6 +313,12 @@ rate = _make("rate")
 timeaverage = _make("timeaverage")
 duty = _make("duty")
 silent = _make("silent")
+std = _make("std")
+period = _make("period")
+max_percent = _make("max_percent")
+mean_percent = _make("mean_percent")
+quantiles = _make("quantiles")
+line = _make("line")
 
 
 # -- readers ----------------------------------------------------------------
@@ -261,6 +356,27 @@ def resampled(run, channel, rule="60s"):
     if df.empty:
         return pd.Series(dtype=float)
     return KINDS[kind_of(run, channel)].resample(df, rule)
+
+
+def dataframe(run, rule="60s", channels_=None):
+    """Wide analysis frame: every channel resampled on a shared time index,
+    multi-column kinds flattened with dotted suffixes (reference
+    stats/analysis.py:12-41)."""
+    run = runs.resolve(run)
+    cols = {}
+    for c in channels_ or channels(run):
+        try:
+            r = resampled(run, c, rule)
+        except Exception:
+            continue
+        if isinstance(r, pd.DataFrame):
+            for sub in r.columns:
+                cols[f"{c}.{sub}"] = r[sub]
+        else:
+            cols[c] = r
+    if not cols:
+        return pd.DataFrame()
+    return pd.DataFrame(cols)
 
 
 def review(run, rule="60s"):

@@ -54,6 +54,34 @@ def test_league_accounting():
     assert (games == 2).all()
 
 
+def test_chunk_jobs_cover_all_pairs():
+    specs = {f"a{i}": i for i in range(5)}
+    jobs = neural.chunk_jobs(specs, chunk_size=2)
+    covered = [m for _, ms in jobs for m in ms]
+    assert sorted(covered) == sorted(neural.all_matchups(list(specs)))
+    # every job touches at most 2*chunk_size agents
+    assert all(len(cs) <= 4 for cs, _ in jobs)
+
+
+def _loader_random(spec):
+    return _random_agent()
+
+
+def test_league_farm_out():
+    # 4 agents in chunks of 2, farmed over a 2-process pool: every ordered
+    # pair plays exactly n_envs_per games (the reference's mock-league test,
+    # neural.py:341-415, against the parallel path)
+    specs = {name: None for name in ["a", "b", "c", "d"]}
+    trials = neural.evaluate_parallel(
+        boardsize=3, specs=specs, loader=_loader_random,
+        n_envs_per=2, chunk_size=2, kind="device", max_workers=2,
+    )
+    pairs = {(r.black_agent, r.white_agent) for r in trials.itertuples()}
+    assert pairs == set(neural.all_matchups(["a", "b", "c", "d"]))
+    games = trials.black_wins + trials.white_wins
+    assert (games == 2).all()
+
+
 def test_agent_roundtrip():
     # save a run via train, reload it as an arena agent, play it
     with mock_dir():

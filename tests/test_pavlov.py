@@ -144,3 +144,84 @@ def test_logs_follow():
             assert "line one" in next(gen)
             logging.getLogger("demo").info("line two")
             assert "line two" in next(gen)
+
+
+def test_stats_new_kinds_roundtrip():
+    # the reference's full kind list round-trips (kinds.py:7-84)
+    with mock_dir():
+        run = runs.new_run()
+        with stats.to_run(run):
+            stats.std("spread", 1.0)
+            stats.std("spread", 3.0)
+            stats.period("save-period", 1)
+            stats.period("save-period", 1)
+            stats.max_percent("util.max", 0.5)
+            stats.max_percent("util.max", 0.25)
+            stats.mean_percent("util.mean", 0.5)
+            stats.mean_percent("util.mean", 0.25)
+            stats.quantiles("q.loss", np.array([0.1, 0.5, 0.9]))
+            stats.quantiles("q.loss", np.array([0.3, 0.7, 1.1]))
+            stats.line("raw", 2.0)
+            stats.line("raw", 4.0)
+
+        spread = stats.resampled(run, "spread", "1h").dropna()
+        np.testing.assert_allclose(spread.iloc[-1], np.std([1.0, 3.0], ddof=1))
+
+        period = stats.resampled(run, "save-period", "1h").dropna()
+        assert period.iloc[-1] == 3600 / 2  # 2 events in a 1h window
+
+        assert stats.resampled(run, "util.max", "1h").dropna().iloc[-1] == 0.5
+        assert stats.resampled(run, "util.mean", "1h").dropna().iloc[-1] == 0.375
+
+        q = stats.resampled(run, "q.loss", "1h").dropna()
+        np.testing.assert_allclose(q.iloc[-1][["q0", "q1", "q2"]], [0.2, 0.6, 1.0])
+
+        assert stats.resampled(run, "raw", "1h").dropna().iloc[-1] == 3.0
+        assert stats.KINDS["max_percent"].percent
+
+
+def test_stats_dataframe():
+    with mock_dir():
+        run = runs.new_run()
+        with stats.to_run(run):
+            stats.mean("loss", 4.0)
+            stats.mean_std("elo", 0.5, 0.1)
+        df = stats.dataframe(run, "1h")
+        assert "loss" in df.columns
+        assert "elo.mu" in df.columns and "elo.sigma" in df.columns
+        assert df["loss"].dropna().iloc[-1] == 4.0
+
+
+def test_logs_from_run_forwarding():
+    # a writer process logs into the run; the from_run thread forwards the
+    # lines into our buffer (reference logs.py:150-193 + tests :202-250)
+    import io
+    import multiprocessing as mp
+    import time as _time
+
+    from boardlaw_tpu.pavlov import tests as ptests
+
+    with mock_dir() as root:
+        run = runs.new_run()
+        ctx = mp.get_context("spawn")
+        p = ctx.Process(target=_log_writer_child, args=(str(root), run))
+        buf = io.StringIO()
+        with logs.from_run(run, out=buf, poll=0.05):
+            p.start()
+            p.join(timeout=60)
+            deadline = _time.time() + 10
+            while "hello from child" not in buf.getvalue() and _time.time() < deadline:
+                _time.sleep(0.05)
+        assert p.exitcode == 0
+        assert "hello from child" in buf.getvalue()
+
+
+def _log_writer_child(root, run):
+    import logging as _logging
+    import os
+
+    os.environ["BOARDLAW_RUN_ROOT"] = root
+    from boardlaw_tpu.pavlov import logs as _logs
+
+    with _logs.to_run(run):
+        _logging.getLogger("child").info("hello from child")
