@@ -105,6 +105,18 @@ def connection():
         conn.close()
 
 
+def query(q, *args):
+    """Parameterised select -> dataframe (reference sql.py:230-236)."""
+    with connection() as conn:
+        return pd.read_sql_query(q, conn, params=args)
+
+
+def execute(q, *args):
+    """Parameterised write (reference sql.py:238-241)."""
+    with connection() as conn:
+        conn.execute(q, args)
+
+
 # -- ingestion --------------------------------------------------------------
 
 def refresh():

@@ -84,7 +84,7 @@ def test_noise_scale_stats():
         lambda b: {"w": jnp.ones(4) * (1.0 if b % 2 else -1.0)}, [0, 1, 2, 3]
     )
     assert stats["variance"] > 0
-    assert stats["sq_mean"] == 0  # mean gradient cancels
+    assert stats["mean_sq"] == 0  # mean gradient cancels
 
 
 def test_modelled_elos():
@@ -102,3 +102,38 @@ def test_modelled_elos():
     assert {"boardsize", "train_flops", "elo", "elohat"} <= set(df.columns)
     rmse = float(np.sqrt(((df.elo - df.elohat) ** 2).mean()))
     assert rmse < 0.1
+
+
+def test_noise_scale_study(db):
+    """End-to-end offline study: tiny run -> snapshot -> registered agent ->
+    fresh-chunk per-timestep grads -> noise_scales rows -> analysis join
+    (reference noisescales.py:39-158)."""
+    from boardlaw_tpu import train
+    from boardlaw_tpu.pavlov import storage as pstorage2
+
+    with mock_dir():
+        run = train.run(
+            boardsize=3, width=4, depth=1, n_envs=8, nodes=4,
+            mix_steps=8, buffer_len=4, max_steps=2, storer="time",
+        )
+        sd = pstorage2.load_latest(run)
+        pstorage2.save_snapshot(run, {"agent": sd["agent"]}, n_samples=16.0, n_flops=1e6)
+        sql.refresh()
+        snaps = sql.query("select * from snaps where run == ?", run)
+        idx = int(snaps.idx.iloc[0])
+
+        aid = noisescales.evaluate(
+            run, idx, nodes=4, c_puct=1 / 16, perf=False, n_envs=16, chunk_len=8
+        )
+        rows = sql.query("select * from noise_scales where agent_id == ?", aid)
+        assert set(rows.kind) == {"policy", "value", "joint"}
+        assert (rows.n_params > 0).all()
+        assert (rows.batches == 8).all()
+
+        # idempotent: re-evaluating doesn't duplicate rows
+        noisescales.evaluate_noise_scale(aid, n_envs=16, chunk_len=8)
+        assert len(sql.query("select * from noise_scales where agent_id == ?", aid)) == 3
+
+        df = noisescales.load()
+        assert {"policy", "value", "joint"} <= set(df.columns)
+        assert np.isfinite(df.loc[aid, "policy"])
