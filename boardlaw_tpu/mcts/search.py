@@ -61,9 +61,11 @@ class MCTSConfig:
 def _pallas_enabled(cfg, B):
     if cfg.use_pallas is not None:
         return bool(cfg.use_pallas)
-    return (
-        jax.devices()[0].platform == "tpu" and B % cfg.pallas_block_envs == 0
-    )
+    # auto = OFF: the vectorized `node_actions` descend + one-hot XLA backup
+    # beat the VMEM-walk Pallas kernels on chip (23ms/26ms per sim at 16k
+    # envs vs ~3ms/3ms — the kernels' per-env dynamic-sublane loops serialize
+    # badly). The kernels remain available for comparison via use_pallas.
+    return False
 
 
 def _pallas_kwargs(cfg):
@@ -282,13 +284,13 @@ def _sample(probs, rand):
     return jnp.where(ok.any(-1), first_ok, last_pos).astype(jnp.int32)
 
 
-def descend(tree, rands):
-    """Walk each env's tree from the root, sampling from the solved pi_bar at
-    every node (using the pre-drawn uniform rands (B,T), one per node as in
+def descend_reference(tree, rands):
+    """Level-serial walk: sample from the solved pi_bar at each visited node
+    (using the pre-drawn uniform rands (B,T), one per node as in
     cuda.cu:184-203), until hitting a terminal or unexpanded child.
 
-    All envs walk in lockstep with per-env active masks; each level is one
-    fused block of row lookups + the Newton solve.
+    Kept as the executable spec for parity tests; `descend` below computes
+    bit-identical results in one vectorized pass and is the production path.
 
     Returns (parents, actions): the node to expand from and the action taken.
     """
@@ -313,6 +315,86 @@ def descend(tree, rands):
         probs = _node_policy(tree, safe_t, q_bounds)
         a = _sample(probs, _take_node(rands, safe_t))
         child = _take_action(_take_node(tree.children, safe_t), a)
+        parent = jnp.where(active, safe_t, parent)
+        action = jnp.where(active, a, action)
+        t = jnp.where(active, child, t)
+        return t, parent, action
+
+    _, parents, actions = jax.lax.while_loop(cond, body, (t0, parent0, action0))
+    return parents, actions
+
+
+def node_actions(tree, rands, q_bounds):
+    """Solve pi_bar and sample an action for EVERY node of every env in one
+    fully-vectorized pass -> (actions (B,T) int32, child (B,T) int32).
+
+    Correct because the search uses one pre-drawn uniform per NODE
+    (rands[b,t], reference mcts/cpp/cuda.cu:184-203): a node's sampled action
+    doesn't depend on where the walk is, so all T solves can run in parallel.
+    This turns the descend hot path from a level-serial walk (the reference's
+    per-thread loop / our Pallas VMEM walk) into one bandwidth-bound (B,T,A)
+    elementwise pass that XLA fuses end-to-end — TPU-first reformulation.
+    """
+    B, T, A = tree.children.shape
+    lo, hi = q_bounds
+
+    logits = tree.logits.astype(jnp.float32)  # (B,T,A)
+    ne = tree.n_edge.astype(jnp.float32)
+    we = tree.w_edge.astype(jnp.float32)
+
+    expanded = ne > 0
+    q = jnp.where(expanded, (we / (ne + 1e-4) - lo) / (hi - lo + 1e-4), 0.0)
+    counts = jnp.where(expanded, ne, 1.0)
+    pi = jnp.exp(logits)
+    N = counts.sum(-1)  # (B,T)
+    lam = tree.c_puct[:, None] * N / (N + A)
+
+    probs = solve_policy(
+        pi.reshape(B * T, A), q.reshape(B * T, A), lam.reshape(B * T)
+    )
+    actions = _sample(probs, rands.reshape(B * T)).reshape(B, T)
+
+    # child pointer per node via one-hot contraction (stays inside the same
+    # fused pass; a per-element gather would lower to a slow scatter-gather)
+    onehot = jax.nn.one_hot(actions, A, dtype=jnp.float32)
+    child = (tree.children.astype(jnp.float32) * onehot).sum(-1).astype(jnp.int32)
+    return actions, child
+
+
+def _take_scalar(arr, t):
+    """Per-env scalar lookup arr[envs, t] on a (B, T) tensor — B-element
+    gather, cheap at any batch size."""
+    return jnp.take_along_axis(arr, t[:, None], axis=1)[:, 0]
+
+
+def descend(tree, rands):
+    """Walk each env's tree from the root until hitting a terminal or
+    unexpanded child. Same contract and bit-identical results as
+    `descend_reference`, but all per-node math is precomputed by
+    `node_actions`; the walk itself only chases (B,) int32 pointers.
+
+    Returns (parents, actions): the node to expand from and the action taken.
+    """
+    B, T, A = tree.children.shape
+    acts, nxt = node_actions(tree, rands, _q_bounds(tree))
+
+    t0 = jnp.zeros((B,), jnp.int32)
+    parent0 = jnp.zeros((B,), jnp.int32)
+    action0 = jnp.full((B,), -1, jnp.int32)
+
+    def active_of(t):
+        return (t != -1) & ~_take_scalar(tree.terminal, jnp.clip(t, 0))
+
+    def cond(carry):
+        t, parent, action = carry
+        return active_of(t).any()
+
+    def body(carry):
+        t, parent, action = carry
+        active = active_of(t)
+        safe_t = jnp.clip(t, 0)
+        a = _take_scalar(acts, safe_t)
+        child = _take_scalar(nxt, safe_t)
         parent = jnp.where(active, safe_t, parent)
         action = jnp.where(active, a, action)
         t = jnp.where(active, child, t)

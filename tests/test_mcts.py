@@ -315,3 +315,26 @@ def test_backup_visits_mode():
     assert np.asarray(out_fixed.n).tolist() == [[1, 1]]
     # w identical in both modes
     np.testing.assert_allclose(np.asarray(out_ref_mode.w), np.asarray(out_fixed.w))
+
+
+def test_descend_matches_reference_walk():
+    # The production `descend` (all-node vectorized solves + pointer chase)
+    # must be bit-identical to `descend_reference` (the level-serial
+    # executable spec) on real mid-search trees of every depth.
+    world = hex.Hex.initial(n_envs=64, boardsize=5)
+    agent = validation.RandomAgent()
+    cfg = M.MCTSConfig(n_nodes=24, use_pallas=False)
+
+    key = jax.random.PRNGKey(7)
+    tree = M.search.build(world, cfg)
+    tree = M.search.initialize(tree, agent(world, None), key, cfg, world.valid)
+
+    sim = jax.jit(lambda t, k: M.search.simulate(t, agent, k, cfg))
+    both = jax.jit(lambda t, r: (M.descend(t, r), M.search.descend_reference(t, r)))
+    for i in range(cfg.n_nodes - 1):
+        key, k_sim, k_rand = jax.random.split(key, 3)
+        rands = jax.random.uniform(k_rand, tree.terminal.shape)
+        (p_new, a_new), (p_ref, a_ref) = both(tree, rands)
+        np.testing.assert_array_equal(np.asarray(p_new), np.asarray(p_ref))
+        np.testing.assert_array_equal(np.asarray(a_new), np.asarray(a_ref))
+        tree = sim(tree, k_sim)
