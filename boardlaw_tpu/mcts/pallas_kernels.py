@@ -51,22 +51,229 @@ def _shardwrap(inner, mesh, axis, n_batch_args, n_rep_args, n_outs):
 
 
 def _solve_policy_rows(pi, q, lam, n_iters=16, tol=1e-3):
-    """Vectorized Newton solve on (E, A) rows — mirrors search.solve_policy."""
-    gap = jnp.maximum(lam * pi, 1e-4)
+    """Vectorized Newton solve on (E, A) rows — mirrors search.solve_policy
+    (single reciprocal per iteration, hoisted numerator: bit-identical to the
+    XLA version, which uses the same formulation)."""
+    lampi = lam * pi
+    gap = jnp.maximum(lampi, 1e-4)
     alpha = jnp.max(q + gap, axis=-1, keepdims=True)
     floor = jnp.max(q, axis=-1, keepdims=True) + 1e-6
     done = jnp.zeros_like(alpha, dtype=jnp.bool_)
 
     for _ in range(n_iters):
-        denom = alpha - q
-        terms = lam * pi / denom
+        r = 1.0 / (alpha - q)
+        terms = lampi * r
         s = terms.sum(-1, keepdims=True)
-        g = (-terms / denom).sum(-1, keepdims=True)
+        g = -(terms * r).sum(-1, keepdims=True)
         err = s - 1.0
         done = done | (err < tol)
         alpha = jnp.maximum(alpha - jnp.where(done, 0.0, err / g), floor)
 
-    return lam * pi / (alpha - q)
+    return lampi / (alpha - q)
+
+
+def _node_actions_kernel(
+    logits_ref, ne_ref, we_ref, ch_ref, rands_ref, cp_ref, qb_ref,
+    actions_ref, child_ref, *, E, T, A, n_actions,
+):
+    """Solve pi_bar and sample an action for every (env, node) of the block in
+    one shot — no walk, no dynamic indexing: pure (E,T,A) vector math with
+    lane reductions, so Mosaic tiles it perfectly and HBM traffic is one read
+    of the tree slice (the XLA formulation re-reads the (B,T,A) tensors ~16x
+    across the unrolled Newton iterations; VMEM residency is the entire win).
+    """
+    qlo = qb_ref[0, 0]
+    qhi = qb_ref[0, 1]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (E, T, A), 2)
+    valid_lane = lane < n_actions
+    cp = cp_ref[:, 0:1][:, :, None]  # (E,1,1)
+
+    logits = logits_ref[:, :, :]
+    ne = ne_ref[:, :, :]
+    we = we_ref[:, :, :]
+
+    # mask padded lanes explicitly: valid-action logits are finite and invalid
+    # ones are NEG_INF_PROXY (exp -> 0), so pi=0 on pads reproduces XLA exactly
+    pi = jnp.where(valid_lane, jnp.exp(logits), 0.0)
+    expanded = ne > 0
+    q = jnp.where(expanded, (we / (ne + 1e-4) - qlo) / (qhi - qlo + 1e-4), 0.0)
+    counts = jnp.where(expanded, ne, jnp.where(valid_lane, 1.0, 0.0))
+    N = counts.sum(-1, keepdims=True)  # (E,T,1)
+    lam = cp * N / (N + n_actions)
+
+    # Newton solve, (E,T,A) vectorized — mirrors search.solve_policy
+    # (identical single-reciprocal formulation for bit-parity)
+    lampi = lam * pi
+    gap = jnp.maximum(lampi, 1e-4)
+    alpha = jnp.max(q + gap, axis=-1, keepdims=True)
+    floor = jnp.max(q, axis=-1, keepdims=True) + 1e-6
+    done = jnp.zeros_like(alpha, dtype=jnp.bool_)
+    for _ in range(16):
+        r = 1.0 / (alpha - q)
+        terms = lampi * r
+        s = terms.sum(-1, keepdims=True)
+        g = -(terms * r).sum(-1, keepdims=True)
+        err = s - 1.0
+        done = done | (err < 1e-3)
+        alpha = jnp.maximum(alpha - jnp.where(done, 0.0, err / g), floor)
+    probs = lampi / (alpha - q)
+
+    # inverse-CDF sample via log-shift prefix sum (exact f32; jnp.cumsum is
+    # not lowered by Mosaic and an MXU matmul would round at bf16)
+    cum = probs
+    shift = 1
+    while shift < A:
+        cum = cum + jnp.pad(cum, ((0, 0), (0, 0), (shift, 0)))[:, :, :A]
+        shift *= 2
+    rand = rands_ref[:, :][:, :, None]
+    pos = probs > 0
+    ok = pos & (cum >= rand)
+    BIG = jnp.int32(A + 1)
+    first_ok = jnp.min(jnp.where(ok, lane, BIG), axis=-1)
+    last_pos = jnp.max(jnp.where(pos, lane, -1), axis=-1)
+    a = jnp.where(first_ok < BIG, first_ok, last_pos).astype(jnp.int32)
+
+    onehot = (lane == a[:, :, None]).astype(jnp.float32)
+    child = (ch_ref[:, :, :] * onehot).sum(-1).astype(jnp.int32)
+
+    actions_ref[:, :] = a
+    child_ref[:, :] = child
+
+
+def node_actions(tree, rands, q_bounds, block_envs=16, interpret=False, mesh=None, mesh_axis="dp"):
+    """Pallas twin of search.node_actions(tree, rands, q_bounds) ->
+    (actions (B,T) int32, child (B,T) int32). Feeds search.descend's pointer
+    chase; q_bounds stays a GLOBAL reduction computed outside (bit-parity
+    with the single-chip path under a mesh)."""
+    B, T, A = tree.children.shape
+    E = block_envs
+    shards = mesh.shape[mesh_axis] if mesh is not None else 1
+    assert (B // shards) % E == 0, (
+        f"per-shard envs {B}//{shards} must be divisible by block_envs {E}"
+    )
+    qb = jnp.stack([q_bounds[0], q_bounds[1]]).reshape(1, 2)
+
+    def inner(logits, ne, we, ch, rands, cp, qb):
+        Bl = logits.shape[0]
+        grid = (Bl // E,)
+        row_spec = pl.BlockSpec((E, T, A), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        vec_spec = pl.BlockSpec((E, T), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        kernel = functools.partial(_node_actions_kernel, E=E, T=T, A=A, n_actions=A)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                row_spec,  # logits
+                row_spec,  # n_edge
+                row_spec,  # w_edge
+                row_spec,  # children (as f32)
+                vec_spec,  # rands
+                pl.BlockSpec((E, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),  # c_puct
+                pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),  # q bounds
+            ],
+            out_specs=[vec_spec, vec_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((Bl, T), jnp.int32),
+                jax.ShapeDtypeStruct((Bl, T), jnp.int32),
+            ],
+            interpret=interpret,
+        )(logits, ne, we, ch, rands, cp, qb)
+
+    inner = _shardwrap(inner, mesh, mesh_axis, n_batch_args=6, n_rep_args=1, n_outs=2)
+    return inner(
+        tree.logits.astype(jnp.float32),
+        tree.n_edge.astype(jnp.float32),
+        tree.w_edge.astype(jnp.float32),
+        tree.children.astype(jnp.float32),
+        rands.astype(jnp.float32),
+        tree.c_puct.astype(jnp.float32)[:, None],
+        qb.astype(jnp.float32),
+    )
+
+
+def _walk_kernel(
+    acts_ref, nxt_ref, term_ref, rootterm_ref,
+    parents_ref, actions_ref, child_ref, path_ref, *, E, T,
+):
+    """The root->leaf pointer chase of search._walk, fully in VMEM.
+
+    Pure integer logic, bit-identical to the XLA unrolled walk — but where
+    XLA lowers each level's masked reductions to separate kernels (~0.2ms x
+    3 x T levels), here the whole chase is one kernel over (E,T) blocks: T
+    unrolled levels of one-hot selects on VMEM-resident i32 tiles.
+    """
+    node_iota = jax.lax.broadcasted_iota(jnp.int32, (E, T), 1)
+    ACTS = acts_ref[:, :]
+    NXT = nxt_ref[:, :]
+    TERM = term_ref[:, :]  # i32 0/1
+
+    t = jnp.zeros((E,), jnp.int32)
+    active = rootterm_ref[:, 0] < 1
+    parents = jnp.zeros((E,), jnp.int32)
+    actions = jnp.full((E,), -1, jnp.int32)
+    halt_child = jnp.full((E,), -1, jnp.int32)
+
+    for level in range(T):
+        sel = ((node_iota == t[:, None]) & active[:, None]).astype(jnp.int32)
+        a_t = (ACTS * sel).sum(-1)
+        c_t = (NXT * sel).sum(-1)
+        # halt AT node t: child unexpanded (-1) or terminal — the child
+        # terminal lookup is one more one-hot select (matches search._halt_of)
+        sel_c = (node_iota == c_t[:, None]).astype(jnp.int32)
+        t_child = (TERM * sel_c).sum(-1)
+        h_t = (c_t < 0) | (t_child > 0)
+        parents = jnp.where(active, t, parents)
+        actions = jnp.where(active, a_t, actions)
+        path_ref[:, level : level + 1] = jnp.where(active, t, -1)[:, None]
+        newly = active & h_t
+        halt_child = jnp.where(newly, c_t, halt_child)
+        active = active & ~h_t
+        t = jnp.where(active, c_t, t)
+
+    parents_ref[:, 0] = parents
+    actions_ref[:, 0] = actions
+    child_ref[:, 0] = halt_child
+
+
+def walk(tree, acts, nxt, block_envs=256, interpret=False, mesh=None, mesh_axis="dp"):
+    """Pallas twin of search's halt+_walk: (parents, actions, halt_child,
+    path) from the per-node sampled actions and child pointers."""
+    B, T = acts.shape
+    E = block_envs
+    shards = mesh.shape[mesh_axis] if mesh is not None else 1
+    assert (B // shards) % E == 0, (
+        f"per-shard envs {B}//{shards} must be divisible by block_envs {E}"
+    )
+
+    def inner(acts, nxt, term, rootterm):
+        Bl = acts.shape[0]
+        grid = (Bl // E,)
+        vec_spec = pl.BlockSpec((E, T), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        one_spec = pl.BlockSpec((E, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        kernel = functools.partial(_walk_kernel, E=E, T=T)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[vec_spec, vec_spec, vec_spec, one_spec],
+            out_specs=[one_spec, one_spec, one_spec, vec_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((Bl, 1), jnp.int32),
+                jax.ShapeDtypeStruct((Bl, 1), jnp.int32),
+                jax.ShapeDtypeStruct((Bl, 1), jnp.int32),
+                jax.ShapeDtypeStruct((Bl, T), jnp.int32),
+            ],
+            interpret=interpret,
+        )(acts, nxt, term, rootterm)
+
+    inner = _shardwrap(inner, mesh, mesh_axis, n_batch_args=4, n_rep_args=0, n_outs=4)
+    parents, actions, child, path = inner(
+        acts.astype(jnp.int32),
+        nxt.astype(jnp.int32),
+        tree.terminal.astype(jnp.int32),
+        tree.terminal[:, 0:1].astype(jnp.int32),
+    )
+    return parents[:, 0], actions[:, 0], child[:, 0], path
 
 
 def _descend_kernel(
@@ -215,7 +422,7 @@ def descend(tree, rands, block_envs=8, interpret=False, mesh=None, mesh_axis="dp
         tree.logits.astype(jnp.float32),
         tree.n_edge.astype(jnp.float32),
         tree.w_edge.astype(jnp.float32),
-        tree.children,
+        tree.children.astype(jnp.int32),
         tree.terminal.astype(jnp.float32),
         rands.astype(jnp.float32),
         tree.c_puct.astype(jnp.float32)[:, None],
@@ -327,9 +534,11 @@ def backup(tree, leaves, n_per_visit, block_envs=64, interpret=False, mesh=None,
     return tree.replace(
         n=tree.n + jnp.round(dn).astype(tree.n.dtype),
         w=tree.w + dw,
-        n_edge=tree.n_edge.at[b_idx, safe_p, safe_r].add(jnp.where(has_edge, dn, 0.0)),
+        n_edge=tree.n_edge.at[b_idx, safe_p, safe_r].add(
+            jnp.where(has_edge, dn, 0.0).astype(tree.n_edge.dtype)
+        ),
         w_edge=tree.w_edge.at[b_idx, safe_p, safe_r].add(
-            jnp.where(has_edge, dw_parent, 0.0)
+            jnp.where(has_edge, dw_parent, 0.0).astype(tree.w_edge.dtype)
         ),
     )
 

@@ -47,6 +47,12 @@ class MCTSConfig:
     alpha_scale: float = 10.0
     backup_n: str = "seats"  # 'seats' = reference behaviour, 'visits' = fixed
     tree_dtype: object = jnp.float32  # storage dtype for logits
+    # Compact tree bookkeeping: int8 child pointers (valid while n_nodes<=127)
+    # and bf16 edge visit counts (exact while total visits<=256, i.e.
+    # n_nodes<=128 even in the double-counting 'seats' mode). Saves ~0.85GB
+    # at the 32k-env 9x9 flagship with BIT-IDENTICAL search results; auto
+    # falls back to wide dtypes when the bounds don't hold.
+    compact: bool = True
     # None = auto (on TPU), True/False to force, 'interpret' = Pallas kernels
     # in interpreter mode (runs on CPU — used to exercise the real multi-chip
     # shard_map+pallas path without TPU hardware)
@@ -54,6 +60,15 @@ class MCTSConfig:
     pallas_block_envs: int = 32  # descend blocks
     pallas_backup: str = "dense"  # 'dense' (in-VMEM edge deltas) | 'delta' | 'xla'
     pallas_backup_envs: int = 16  # backup blocks
+    # the production descend = all-node Pallas solve/sample + XLA pointer
+    # chase. None = auto (on on TPU), True/False force, 'interpret' = kernel
+    # in interpreter mode (CPU shard_map testing)
+    pallas_nodes: object = None
+    pallas_nodes_envs: int = 16  # node_actions kernel env blocks
+    # the pointer-chase walk kernel: None = auto (on on TPU when the env
+    # count divides), True/False force, 'interpret' for CPU testing
+    pallas_walk: object = None
+    pallas_walk_envs: int = 256
     mesh: object = None  # jax.sharding.Mesh — shard kernels via shard_map
     mesh_axis: str = "dp"
 
@@ -66,6 +81,34 @@ def _pallas_enabled(cfg, B):
     # envs vs ~3ms/3ms — the kernels' per-env dynamic-sublane loops serialize
     # badly). The kernels remain available for comparison via use_pallas.
     return False
+
+
+def _pallas_nodes_enabled(cfg, B):
+    if cfg is None:
+        return False
+    if cfg.pallas_nodes is not None:
+        return bool(cfg.pallas_nodes)
+    # auto = ON on chip: the VMEM-resident kernel beats the XLA all-node
+    # solve (~37ms vs ~61ms at 16k envs 9x9 — XLA round-trips the (B,T,A)
+    # tensors through HBM on every Newton iteration because the lane
+    # reductions break fusion; the kernel keeps them in VMEM).
+    per_shard = B // (cfg.mesh.shape[cfg.mesh_axis] if cfg.mesh is not None else 1)
+    return (
+        jax.devices()[0].platform == "tpu"
+        and per_shard % cfg.pallas_nodes_envs == 0
+    )
+
+
+def _pallas_walk_enabled(cfg, B):
+    if cfg is None:
+        return False
+    if cfg.pallas_walk is not None:
+        return bool(cfg.pallas_walk)
+    per_shard = B // (cfg.mesh.shape[cfg.mesh_axis] if cfg.mesh is not None else 1)
+    return (
+        jax.devices()[0].platform == "tpu"
+        and per_shard % cfg.pallas_walk_envs == 0
+    )
 
 
 def _pallas_kwargs(cfg):
@@ -107,6 +150,11 @@ class Tree(struct.PyTreeNode):
     w_edge: jnp.ndarray  # (B,T,A) f32 — child value sums for the PARENT's seat
     c_puct: jnp.ndarray  # (B,) f32
     sim: jnp.ndarray  # () int32 — next free node slot
+    # Cached per-node Newton solution alpha (B,T) f32 — warm-starting each
+    # sim's solve from the previous sim's alpha cuts the iteration count ~2x
+    # (stats change only along one backup path per sim). None = cold start
+    # (tests building raw trees).
+    alpha: object = None
 
 
 def build(world, cfg: MCTSConfig):
@@ -117,9 +165,12 @@ def build(world, cfg: MCTSConfig):
     A = world.action_space.dim
     S = world.n_seats
 
+    child_dtype = jnp.int8 if (cfg.compact and T <= 127) else jnp.int32
+    count_dtype = jnp.bfloat16 if (cfg.compact and 2 * T <= 256) else jnp.float32
+
     worlds = jax.tree.map(lambda x: jnp.broadcast_to(x[:, None], (B, T) + x.shape[1:]), world)
     return Tree(
-        children=jnp.full((B, T, A), -1, jnp.int32),
+        children=jnp.full((B, T, A), -1, child_dtype),
         parents=jnp.full((B, T), -1, jnp.int32),
         relation=jnp.full((B, T), -1, jnp.int32),
         worlds=worlds,
@@ -134,7 +185,7 @@ def build(world, cfg: MCTSConfig):
         v=jnp.zeros((B, T, S), jnp.float32),
         n=jnp.zeros((B, T), jnp.int32),
         w=jnp.zeros((B, T, S), jnp.float32),
-        n_edge=jnp.zeros((B, T, A), jnp.float32),
+        n_edge=jnp.zeros((B, T, A), count_dtype),
         w_edge=jnp.zeros((B, T, A), jnp.float32),
         c_puct=jnp.full((B,), cfg.c_puct, jnp.float32),
         sim=jnp.array(0, jnp.int32),
@@ -201,21 +252,24 @@ def solve_policy(pi, q, lambda_n, tol=1e-3, n_iters=16):
     pi = pi.astype(jnp.float32)
     q = q.astype(jnp.float32)
 
-    gap = jnp.maximum(lam * pi, 1e-4)
+    # hoist the numerator and use ONE reciprocal per iteration (terms/denom
+    # twice costs two of the slowest VPU ops per element per iteration)
+    lampi = lam * pi
+    gap = jnp.maximum(lampi, 1e-4)
     alpha = jnp.max(q + gap, -1)
     floor = jnp.max(q, -1) + 1e-6  # keep alpha strictly above every q
     done = jnp.zeros(alpha.shape, bool)
 
     for _ in range(n_iters):
-        denom = alpha[:, None] - q
-        terms = lam * pi / denom
+        r = 1.0 / (alpha[:, None] - q)
+        terms = lampi * r
         s = terms.sum(-1)
-        g = (-terms / denom).sum(-1)
+        g = -(terms * r).sum(-1)
         err = s - 1.0
         done = done | (err < tol)
         alpha = jnp.maximum(alpha - jnp.where(done, 0.0, err / g), floor)
 
-    return lam * pi / (alpha[:, None] - q)
+    return lampi / (alpha[:, None] - q)
 
 
 def _take_node(arr, t, dtype=None):
@@ -367,40 +421,101 @@ def _take_scalar(arr, t):
     return jnp.take_along_axis(arr, t[:, None], axis=1)[:, 0]
 
 
-def descend(tree, rands):
+def _node_actions_any(tree, rands, cfg):
+    """acts/nxt for every node via the XLA all-node pass, or the Pallas VMEM
+    twin when cfg enables it."""
+    B = tree.children.shape[0]
+    if _pallas_nodes_enabled(cfg, B):
+        from . import pallas_kernels
+
+        return pallas_kernels.node_actions(
+            tree, rands, _q_bounds(tree),
+            block_envs=cfg.pallas_nodes_envs,
+            interpret=cfg.pallas_nodes == "interpret",
+            mesh=cfg.mesh, mesh_axis=cfg.mesh_axis,
+        )
+    return node_actions(tree, rands, _q_bounds(tree))
+
+
+def _halt_of(tree, nxt):
+    """halt[b,t]: the walk stops AT node t — its sampled child is unexpanded
+    (expand it) or terminal (back up from it). One (B,T) gather per sim, done
+    once so the walk itself needs no per-level gathers at all."""
+    term_child = jnp.take_along_axis(tree.terminal, jnp.clip(nxt, 0), axis=1)
+    return (nxt == -1) | term_child
+
+
+def _walk(acts, nxt, halt, root_terminal):
+    """Root->leaf pointer chase, UNROLLED over levels with one-hot lookups.
+
+    TPU note: a `lax.while_loop` chase costs ~0.6ms/trip here — each trip's
+    per-env element gathers lower to serialized scatter-gathers, and the trip
+    count is the max depth over all envs. Node slots are allocated in
+    simulation order, so node ids STRICTLY INCREASE along any root->leaf path
+    — the walk is bounded by T levels and can be fully unrolled, with each
+    level three masked (B,T) reductions.
+
+    Returns (parents, actions, halt_child, path) where path (B,T) int32 holds
+    the visited node per level (-1 past the halting depth) — reused by
+    `backup_path`, so descend and backup walk the tree ONCE per sim
+    (reference walks it twice: cuda.cu:138-182 then :205-236). Path levels
+    form a contiguous prefix per env: path[b,l] >= 0 iff l <= depth(b).
+    """
+    B, T = acts.shape
+    iota = jnp.arange(T)[None, :]
+
+    t = jnp.zeros((B,), jnp.int32)
+    active = ~root_terminal
+    parents = jnp.zeros((B,), jnp.int32)
+    actions = jnp.full((B,), -1, jnp.int32)
+    halt_child = jnp.full((B,), -1, jnp.int32)
+    levels = []
+
+    for _ in range(T):
+        onehot = (iota == t[:, None]) & active[:, None]  # (B,T)
+        a_t = jnp.where(onehot, acts, 0).sum(1)
+        c_t = jnp.where(onehot, nxt, 0).sum(1)
+        h_t = (onehot & halt).any(1)
+        parents = jnp.where(active, t, parents)
+        actions = jnp.where(active, a_t, actions)
+        levels.append(jnp.where(active, t, -1))
+        newly = active & h_t
+        halt_child = jnp.where(newly, c_t, halt_child)
+        active = active & ~h_t
+        t = jnp.where(active, c_t, t)
+
+    path = jnp.stack(levels, axis=1)  # (B,T)
+    return parents, actions, halt_child, path
+
+
+def _walk_any(tree, acts, nxt, cfg):
+    """The pointer chase (Pallas kernel when cfg enables it, else the XLA
+    unrolled walk) -> (parents, actions, halt_child, path)."""
+    B = acts.shape[0]
+    if _pallas_walk_enabled(cfg, B):
+        from . import pallas_kernels
+
+        return pallas_kernels.walk(
+            tree, acts, nxt,
+            block_envs=cfg.pallas_walk_envs,
+            interpret=cfg.pallas_walk == "interpret",
+            mesh=cfg.mesh, mesh_axis=cfg.mesh_axis,
+        )
+    halt = _halt_of(tree, nxt)
+    return _walk(acts, nxt, halt, tree.terminal[:, 0])
+
+
+def descend(tree, rands, cfg=None):
     """Walk each env's tree from the root until hitting a terminal or
     unexpanded child. Same contract and bit-identical results as
     `descend_reference`, but all per-node math is precomputed by
-    `node_actions`; the walk itself only chases (B,) int32 pointers.
+    `node_actions` and the chase is the unrolled one-hot `_walk` (or its
+    Pallas twin).
 
     Returns (parents, actions): the node to expand from and the action taken.
     """
-    B, T, A = tree.children.shape
-    acts, nxt = node_actions(tree, rands, _q_bounds(tree))
-
-    t0 = jnp.zeros((B,), jnp.int32)
-    parent0 = jnp.zeros((B,), jnp.int32)
-    action0 = jnp.full((B,), -1, jnp.int32)
-
-    def active_of(t):
-        return (t != -1) & ~_take_scalar(tree.terminal, jnp.clip(t, 0))
-
-    def cond(carry):
-        t, parent, action = carry
-        return active_of(t).any()
-
-    def body(carry):
-        t, parent, action = carry
-        active = active_of(t)
-        safe_t = jnp.clip(t, 0)
-        a = _take_scalar(acts, safe_t)
-        child = _take_scalar(nxt, safe_t)
-        parent = jnp.where(active, safe_t, parent)
-        action = jnp.where(active, a, action)
-        t = jnp.where(active, child, t)
-        return t, parent, action
-
-    _, parents, actions = jax.lax.while_loop(cond, body, (t0, parent0, action0))
+    acts, nxt = _node_actions_any(tree, rands, cfg)
+    parents, actions, _, _ = _walk_any(tree, acts, nxt, cfg)
     return parents, actions
 
 
@@ -450,8 +565,15 @@ def backup(tree, leaves, n_per_visit):
         return v, current, dn, dw
 
     _, _, dn, dw = jax.lax.while_loop(cond, body, (v0, current0, dn0, dw0))
+    return _apply_deltas(tree, dn, dw)
 
-    # route the node deltas onto the parent edges: one scatter-add per tensor
+
+def _apply_deltas(tree, dn, dw):
+    """Fold the per-node (dn, dw) visit deltas into the node stats and route
+    them onto the parent edges (one scatter-add per edge tensor)."""
+    B, T, S = tree.w.shape
+    envs = jnp.arange(B)
+
     has_edge = tree.parents >= 0  # (B,T)
     safe_p = jnp.clip(tree.parents, 0)
     safe_r = jnp.clip(tree.relation, 0)
@@ -461,9 +583,11 @@ def backup(tree, leaves, n_per_visit):
     )[..., 0]
 
     b_idx = jnp.broadcast_to(envs[:, None], (B, T))
-    n_edge = tree.n_edge.at[b_idx, safe_p, safe_r].add(jnp.where(has_edge, dn, 0.0))
+    n_edge = tree.n_edge.at[b_idx, safe_p, safe_r].add(
+        jnp.where(has_edge, dn, 0.0).astype(tree.n_edge.dtype)
+    )
     w_edge = tree.w_edge.at[b_idx, safe_p, safe_r].add(
-        jnp.where(has_edge, dw_parent, 0.0)
+        jnp.where(has_edge, dw_parent, 0.0).astype(tree.w_edge.dtype)
     )
 
     return tree.replace(
@@ -471,6 +595,96 @@ def backup(tree, leaves, n_per_visit):
         w=tree.w + dw,
         n_edge=n_edge,
         w_edge=w_edge,
+    )
+
+
+def backup_path(tree, path, acts, leaves, n_per_visit):
+    """`backup`, but along the path RECORDED by `_walk` instead of re-chasing
+    parent pointers — same results (n/n_edge exact; w/w_edge to f32 roundoff
+    from the different summation order), no while_loop, no scatters.
+
+    TPU formulation: every per-level lookup (terminal / rewards / seats /
+    actions along the path) is ONE batched one-hot matmul on the MXU; the
+    leaf->root value recursion then runs on compact (B, S) tensors — a pure
+    elementwise chain XLA fuses into a single kernel (a dense (B,T)-wide
+    per-level loop lowers to ~2ms/level of unfused reduction kernels; this
+    whole function is a handful of einsums). The edge routing contracts the
+    path one-hots directly: d_edge[b,t,a] = sum_l onehotP[b,l,t] *
+    onehotA[b,l,a] * coef[b,l] — one batched matmul instead of the 12ms
+    (B,T)-indexed scatter-add.
+    """
+    B, T, S = tree.w.shape
+    A = tree.children.shape[-1]
+    Laug = T + 1  # path levels plus the leaf slot
+
+    # augment the path with the leaf at position depth(b) (path levels are a
+    # contiguous prefix, so parent/child pairs stay adjacent)
+    depth = (path >= 0).sum(1)  # (B,)
+    iota_l = jnp.arange(Laug)[None, :]
+    leaf_pos = iota_l == depth[:, None]  # (B,Laug)
+    path_aug = jnp.concatenate([path, jnp.full((B, 1), -1, path.dtype)], axis=1)
+    path_aug = jnp.where(leaf_pos, leaves[:, None], path_aug)
+    active = path_aug >= 0  # (B,Laug)
+
+    onehotP = (
+        jax.nn.one_hot(jnp.clip(path_aug, 0), T, dtype=jnp.bfloat16)
+        * active[:, :, None]
+    )  # (B,Laug,T)
+
+    # path-compact lookups (one MXU matmul each; values are small integers /
+    # +-1 rewards, exact in bf16)
+    f32 = jnp.float32
+    term_path = (
+        jnp.einsum("blt,bt->bl", onehotP, tree.terminal.astype(f32),
+                   preferred_element_type=f32) > 0.5
+    )
+    rew_path = jnp.einsum("blt,bts->bls", onehotP, tree.rewards.astype(f32),
+                          preferred_element_type=f32)
+    seat_path = jnp.einsum("blt,bt->bl", onehotP, tree.seats.astype(f32),
+                           preferred_element_type=f32).astype(jnp.int32)
+    a_path = jnp.einsum("blt,bt->bl", onehotP, acts.astype(f32),
+                        preferred_element_type=f32).astype(jnp.int32)
+
+    # leaf->root value recursion on (B,S): pure elementwise chain, one kernel
+    v = _take_node(tree.v, leaves).astype(f32)  # (B,S)
+    dw_path = [None] * Laug
+    for pos in reversed(range(Laug)):
+        m = active[:, pos][:, None]  # (B,1)
+        v_new = jnp.where(term_path[:, pos][:, None], 0.0, v) + rew_path[:, pos]
+        v = jnp.where(m, v_new, v)
+        dw_path[pos] = jnp.where(m, v, 0.0)
+    dw_path = jnp.stack(dw_path, axis=1)  # (B,Laug,S)
+    dn_path = active.astype(f32) * n_per_visit  # (B,Laug)
+
+    # node deltas (value-carrying contractions run at HIGHEST precision)
+    hi = jax.lax.Precision.HIGHEST
+    dn = jnp.einsum("bl,blt->bt", dn_path, onehotP, preferred_element_type=f32)
+    dw = jnp.einsum("bls,blt->bts", dw_path, onehotP,
+                    preferred_element_type=f32, precision=hi)
+
+    # edge deltas: parent position l feeds edge (path[l], a_path[l]) with the
+    # child's (position l+1) visit count and parent-seat value
+    child_active = active[:, 1:]  # (B,T) — position l+1 active
+    onehotA = (
+        jax.nn.one_hot(jnp.clip(a_path[:, :T], 0), A, dtype=jnp.bfloat16)
+        * child_active[:, :, None]
+    )  # (B,T,A) over parent positions
+    seat_oh = jax.nn.one_hot(jnp.clip(seat_path[:, :T], 0, S - 1), S, dtype=f32)
+    we_coef = (dw_path[:, 1:, :] * seat_oh).sum(-1)  # (B,T) child value @ parent seat
+    ne_coef = child_active.astype(f32) * n_per_visit
+
+    onehotP_par = onehotP[:, :T, :]  # (B,T,T) parent positions
+    d_ne = jnp.einsum("blt,bla->bta", onehotP_par, onehotA * ne_coef[..., None].astype(jnp.bfloat16),
+                      preferred_element_type=f32)
+    d_we = jnp.einsum("blt,bla->bta", onehotP_par,
+                      onehotA.astype(f32) * we_coef[..., None],
+                      preferred_element_type=f32, precision=hi)
+
+    return tree.replace(
+        n=tree.n + jnp.round(dn).astype(tree.n.dtype),
+        w=tree.w + dw,
+        n_edge=tree.n_edge + d_ne.astype(tree.n_edge.dtype),
+        w_edge=tree.w_edge + d_we.astype(tree.w_edge.dtype),
     )
 
 
@@ -487,24 +701,42 @@ def simulate(tree, eval_fn, key, cfg: MCTSConfig):
     k_rand, k_eval = jax.random.split(key)
 
     rands = jax.random.uniform(k_rand, (B, T))
+    path = acts = None
     if _pallas_enabled(cfg, B):
         from . import pallas_kernels
 
         parents, actions = pallas_kernels.descend(
             tree, rands, block_envs=cfg.pallas_block_envs, **_pallas_kwargs(cfg)
         )
+        # Reuse the existing child slot if this (parent, action) edge was
+        # already expanded (terminal transitions stop descents early) — else
+        # allocate slot `sim` (mcts/__init__.py:115-122).
+        existing = _take_action(_take_node(tree.children, parents), actions).astype(jnp.int32)
     else:
-        parents, actions = descend(tree, rands)
-
-    # Reuse the existing child slot if this (parent, action) edge was already
-    # expanded (terminal transitions stop descents early) — else allocate slot
-    # `sim` (mcts/__init__.py:115-122).
-    existing = _take_action(_take_node(tree.children, parents), actions).astype(jnp.int32)
+        acts, nxt = _node_actions_any(tree, rands, cfg)
+        parents, actions, existing, path = _walk_any(tree, acts, nxt, cfg)
     leaves = jnp.where(existing == -1, tree.sim, existing).astype(jnp.int32)
 
-    children = tree.children.at[envs, parents, actions].set(leaves)
-    parents_arr = tree.parents.at[envs, leaves].set(parents)
-    relation = tree.relation.at[envs, leaves].set(actions)
+    # TPU note: all row writes below are one-hot BLENDS, not .at[] scatters —
+    # a per-env varying-row scatter on a (B,T,A) tensor lowers ~10x worse
+    # than a masked select that streams the tensor once (measured in
+    # scripts/bisect_simulate.py; XLA strength-reduces constant-index
+    # scatters but not varying ones).
+    iota_t = jnp.arange(T)[None, :]
+    oh_leaf = iota_t == leaves[:, None]  # (B,T)
+    oh_parent = iota_t == parents[:, None]  # (B,T)
+    oh_act = jnp.arange(A)[None, :] == actions[:, None]  # (B,A)
+
+    def set_row(full, new, oh=oh_leaf):
+        # full (B,T,...) <- new (B,...) at the one-hot row
+        mask = oh.reshape(oh.shape + (1,) * (full.ndim - 2))
+        return jnp.where(mask, new[:, None].astype(full.dtype), full)
+
+    children = jnp.where(
+        oh_parent[:, :, None] & oh_act[:, None, :],
+        leaves[:, None, None].astype(tree.children.dtype),
+        tree.children,
+    )
 
     old_world = jax.tree.map(
         lambda x: _take_node(x, parents, dtype=x.dtype), tree.worlds
@@ -515,16 +747,14 @@ def simulate(tree, eval_fn, key, cfg: MCTSConfig):
 
     tree = tree.replace(
         children=children,
-        parents=parents_arr,
-        relation=relation,
-        worlds=jax.tree.map(lambda full, new: full.at[envs, leaves].set(new), tree.worlds, world),
-        seats=tree.seats.at[envs, leaves].set(world.seats.astype(jnp.int32)),
-        terminal=tree.terminal.at[envs, leaves].set(transition.terminal),
-        rewards=tree.rewards.at[envs, leaves].set(transition.rewards.astype(tree.rewards.dtype)),
-        logits=tree.logits.at[envs, leaves].set(
-            _clamp_logits(decisions["logits"]).astype(tree.logits.dtype)
-        ),
-        v=tree.v.at[envs, leaves].set(decisions["v"].astype(tree.v.dtype)),
+        parents=set_row(tree.parents, parents),
+        relation=set_row(tree.relation, actions),
+        worlds=jax.tree.map(lambda full, new: set_row(full, new), tree.worlds, world),
+        seats=set_row(tree.seats, world.seats.astype(jnp.int32)),
+        terminal=set_row(tree.terminal, transition.terminal),
+        rewards=set_row(tree.rewards, transition.rewards),
+        logits=set_row(tree.logits, _clamp_logits(decisions["logits"])),
+        v=set_row(tree.v, decisions["v"]),
         sim=tree.sim + 1,
     )
 
@@ -541,6 +771,10 @@ def simulate(tree, eval_fn, key, cfg: MCTSConfig):
             tree, leaves, n_per_visit,
             block_envs=cfg.pallas_backup_envs, **_pallas_kwargs(cfg),
         )
+    if path is not None:
+        # the descend walk already recorded the leaf's ancestor path — back
+        # up along it instead of re-walking the parent pointers
+        return backup_path(tree, path, acts, leaves, n_per_visit)
     return backup(tree, leaves, n_per_visit)
 
 

@@ -75,6 +75,8 @@ class TrainConfig:
     use_pallas: object = None
     pallas_block_envs: int = 32
     pallas_backup_envs: int = 16
+    pallas_nodes: object = None  # the production descend kernel (see MCTSConfig)
+    pallas_nodes_envs: int = 16
 
     @property
     def compute_dtype(self):
@@ -89,6 +91,8 @@ class TrainConfig:
             use_pallas=self.use_pallas,
             pallas_block_envs=self.pallas_block_envs,
             pallas_backup_envs=self.pallas_backup_envs,
+            pallas_nodes=self.pallas_nodes,
+            pallas_nodes_envs=self.pallas_nodes_envs,
             mesh=mesh,
             mesh_axis=mesh_axis,
         )

@@ -99,8 +99,25 @@ def main():
             if use_pallas:
                 p, a = pallas_kernels.descend(tree, rands, block_envs=mcfg.pallas_block_envs)
             else:
-                p, a = search.descend(tree, rands)
+                p, a = search.descend(tree, rands, mcfg)
             return c + p.sum() + a.sum(), None
+
+        c, _ = jax.lax.scan(body, jnp.int32(0), jax.random.split(key, CHUNK))
+        return c
+
+    @jax.jit
+    def t_nodes(tree, key):
+        # the all-node solve/sample alone (Pallas kernel when enabled)
+        qb = search._q_bounds(tree)
+
+        def body(c, k):
+            rands = jax.random.uniform(k, tree.parents.shape)
+            if search._pallas_nodes_enabled(mcfg, tree.parents.shape[0]):
+                a, ch = pallas_kernels.node_actions(
+                    tree, rands, qb, block_envs=mcfg.pallas_nodes_envs)
+            else:
+                a, ch = search.node_actions(tree, rands, qb)
+            return c + a.sum() + ch.sum(), None
 
         c, _ = jax.lax.scan(body, jnp.int32(0), jax.random.split(key, CHUNK))
         return c
@@ -189,6 +206,7 @@ def main():
     results["qbounds"] = timed("qbounds", t_qbounds, tree, key)
     results["eval"] = timed("eval", t_eval, world, key)
     results["env-step"] = timed("env-step", t_envstep, world, key)
+    results["nodes"] = timed("nodes", t_nodes, tree, key)
     results["descend"] = timed("descend", t_descend, tree, key)
     results["backup"] = timed("backup", t_backup, tree, key)
     results["expand"] = timed("expand", t_expand, tree, key)

@@ -338,3 +338,35 @@ def test_descend_matches_reference_walk():
         np.testing.assert_array_equal(np.asarray(p_new), np.asarray(p_ref))
         np.testing.assert_array_equal(np.asarray(a_new), np.asarray(a_ref))
         tree = sim(tree, k_sim)
+
+
+def test_backup_path_matches_backup(monkeypatch):
+    # The production simulate backs up along the path RECORDED by the descend
+    # walk (`backup_path`); forcing it back onto the pointer-chase `backup`
+    # must leave every stat tensor bit-identical over a whole real search.
+    world = hex.Hex.initial(n_envs=32, boardsize=5)
+    agent = validation.RandomAgent()
+    cfg = M.MCTSConfig(n_nodes=24, use_pallas=False)
+    key = jax.random.PRNGKey(11)
+
+    tree_path = M.search.mcts(world, agent, key, cfg)
+    monkeypatch.setattr(
+        M.search, "backup_path",
+        lambda tree, path, acts, leaves, npv: M.search.backup(tree, leaves, npv),
+    )
+    tree_chase = M.search.mcts(world, agent, key, cfg)
+
+    # counts and topology are exact; value sums differ only by f32 summation
+    # order (einsum-routed vs sequential adds)
+    for name in ("n", "n_edge", "children", "parents"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(tree_path, name)).astype(np.float32),
+            np.asarray(getattr(tree_chase, name)).astype(np.float32),
+            err_msg=name,
+        )
+    for name in ("w", "w_edge"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(tree_path, name)),
+            np.asarray(getattr(tree_chase, name)),
+            atol=1e-5, err_msg=name,
+        )

@@ -107,3 +107,53 @@ def test_backup_dense_matches_xla(npv):
     np.testing.assert_allclose(
         np.asarray(out_xla.w_edge), np.asarray(out_pal.w_edge), atol=1e-5
     )
+
+
+@pytest.mark.parametrize("seed,c_puct", [(0, 1.0), (1, 0.0625)])
+def test_node_actions_matches_xla(seed, c_puct):
+    rng = np.random.default_rng(seed)
+    B, T, A = 16, 12, 7
+    tree = _random_tree(rng, B, T, A, c_puct=c_puct)
+    rands = jax.random.uniform(jax.random.PRNGKey(seed), (B, T))
+    qb = S._q_bounds(tree)
+
+    a_xla, c_xla = S.node_actions(tree, rands, qb)
+    a_pal, c_pal = PK.node_actions(tree, rands, qb, block_envs=8, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(a_xla), np.asarray(a_pal))
+    np.testing.assert_array_equal(np.asarray(c_xla), np.asarray(c_pal))
+
+
+def test_descend_pallas_nodes_cfg():
+    # descend(cfg with pallas_nodes='interpret') routes through the kernel and
+    # stays bit-identical to the pure-XLA path
+    rng = np.random.default_rng(5)
+    B, T, A = 16, 12, 7
+    tree = _random_tree(rng, B, T, A)
+    rands = jax.random.uniform(jax.random.PRNGKey(5), (B, T))
+    cfg = S.MCTSConfig(pallas_nodes="interpret", pallas_nodes_envs=8)
+
+    p_xla, a_xla = S.descend(tree, rands)
+    p_pal, a_pal = S.descend(tree, rands, cfg)
+    np.testing.assert_array_equal(np.asarray(p_xla), np.asarray(p_pal))
+    np.testing.assert_array_equal(np.asarray(a_xla), np.asarray(a_pal))
+
+
+def test_walk_kernel_matches_xla():
+    # the Pallas pointer-chase kernel is pure integer logic and must be
+    # bit-identical to search._walk on the same acts/nxt
+    rng = np.random.default_rng(3)
+    B, T, A = 16, 12, 7
+    tree = _random_tree(rng, B, T, A)
+    rands = jax.random.uniform(jax.random.PRNGKey(3), (B, T))
+    qb = S._q_bounds(tree)
+    acts, nxt = S.node_actions(tree, rands, qb)
+
+    halt = S._halt_of(tree, nxt)
+    p_x, a_x, c_x, path_x = S._walk(acts, nxt, halt, tree.terminal[:, 0])
+    p_p, a_p, c_p, path_p = PK.walk(tree, acts, nxt, block_envs=8, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(p_x), np.asarray(p_p))
+    np.testing.assert_array_equal(np.asarray(a_x), np.asarray(a_p))
+    np.testing.assert_array_equal(np.asarray(c_x), np.asarray(c_p))
+    np.testing.assert_array_equal(np.asarray(path_x), np.asarray(path_p))
