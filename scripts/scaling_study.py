@@ -1,0 +1,179 @@
+"""End-to-end compute-scaling study: the reference's raison d'être.
+
+Trains a ladder of net sizes at one boardsize with log-spaced FLOP snapshots
+(reference boardlaw/main.py:147 + storage.py:56-120), league-evaluates every
+snapshot against every other (reference arena/neural.py:229-294), solves MLE
+Elos from the trials table, fits the compute-frontier changepoint model, and
+writes the Elo-vs-compute figure + dataframe (reference analysis/data.py:
+59-145, docs/flops_curves.svg).
+
+Stages are separate subcommands so a 12h budget can interleave them with
+other chip work, and each stage is resumable (training by run, evaluation by
+what's already in the trials table).
+
+Usage:
+    python scripts/scaling_study.py train   [--boardsize 7] [--envs 1024]
+                                            [--steps 2000] [--sizes w:d,...]
+    python scripts/scaling_study.py evaluate [--boardsize 7] [--envs-per 4]
+    python scripts/scaling_study.py fit     [--boardsize 7]
+    python scripts/scaling_study.py all     [...]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DESC = "scaling-study"
+DEFAULT_SIZES = "16:1,32:1,64:2,128:2,256:2"
+
+
+def parse_sizes(s):
+    return [tuple(map(int, wd.split(":"))) for wd in s.split(",")]
+
+
+def train(args):
+    from boardlaw_tpu import train as T
+
+    done = []
+    for width, depth in parse_sizes(args.sizes):
+        t0 = time.time()
+        run = T.run(
+            args.boardsize,
+            width,
+            depth,
+            desc=DESC,
+            n_envs=args.envs,
+            storer="flops",
+            max_steps=args.steps,
+            arena=False,
+        )
+        done.append(run)
+        print(
+            f"[scaling] trained {width}x{depth} -> {run} "
+            f"({time.time() - t0:.0f}s)",
+            flush=True,
+        )
+    return done
+
+
+def evaluate(args):
+    """League-evaluate every scaling-study snapshot, skipping pairs already
+    in the trials table (so reruns only add games)."""
+    from boardlaw_tpu import sql
+    from boardlaw_tpu.arena import common, neural
+
+    sql.refresh()
+    ags = sql.agent_query()
+    ags = ags[(ags.boardsize == args.boardsize) & (ags.description == DESC)]
+    if len(ags) < 2:
+        print(f"[scaling] only {len(ags)} agents registered — train first")
+        return
+
+    agents = {}
+    for aid, row in ags.iterrows():
+        a = common.agent(row.run, int(row.idx))
+        if a is not None:
+            agents[int(aid)] = a
+    print(f"[scaling] league of {len(agents)} agents", flush=True)
+
+    played = sql.trial_query(args.boardsize, DESC)
+    seen = set(zip(played.black_agent, played.white_agent)) if len(played) else set()
+    matchups = [m for m in neural.all_matchups(list(agents)) if m not in seen]
+    if not matchups:
+        print("[scaling] all matchups already played")
+        return
+    n_envs = min(len(matchups) * args.envs_per, args.league_envs)
+    n_envs = max(n_envs - n_envs % 2, 2)
+    ev = neural.ChunkEvaluator(
+        args.boardsize, n_envs, agents, matchups, args.envs_per
+    )
+    trials = ev.play(progress_every=30)
+    rows = [
+        (int(r.black_agent), int(r.white_agent), int(r.black_wins),
+         int(r.white_wins), 0, 0.0)
+        for r in trials.itertuples()
+    ]
+    sql.save_trials(rows)
+    print(f"[scaling] saved {len(rows)} trial rows "
+          f"({trials.black_wins.sum() + trials.white_wins.sum():.0f} games)",
+          flush=True)
+
+
+def fit(args):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    from boardlaw_tpu.scaling import data
+
+    df = data.load(DESC)
+    df = df[df.boardsize == args.boardsize]
+    if len(df) == 0:
+        print("[scaling] no evaluated agents — run evaluate first")
+        return
+
+    outdir = "output/experiments/scaling"
+    os.makedirs(outdir, exist_ok=True)
+    df.to_csv(f"{outdir}/frontier_b{args.boardsize}.csv")
+
+    params = data.fit_model(df)
+    fitted = data.apply_model(params, df)
+
+    fig, ax = plt.subplots(figsize=(7, 5))
+    for run, g in df.sort_values("train_flops").groupby("run"):
+        label = f"{int(g.width.iloc[0])}x{int(g.depth.iloc[0])}"
+        ax.plot(g.train_flops, g.elo * data.ELO, "-o", ms=3, label=label)
+    order = np.argsort(df.train_flops.values)
+    ax.plot(
+        df.train_flops.values[order],
+        fitted.values[order] * data.ELO,
+        "k--",
+        lw=1,
+        label="frontier fit",
+    )
+    ax.set_xscale("log")
+    ax.set_xlabel("train FLOPs")
+    ax.set_ylabel("Elo")
+    ax.set_title(f"Elo vs compute, {args.boardsize}x{args.boardsize} Hex")
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(f"{outdir}/flops_curves_b{args.boardsize}.png", dpi=150)
+
+    summary = {
+        "boardsize": args.boardsize,
+        "n_agents": int(len(df)),
+        "n_runs": int(df.run.nunique()),
+        "elo_span": float((df.elo.max() - df.elo.min()) * data.ELO),
+        "params": {k: np.asarray(v).tolist() for k, v in params.items()},
+    }
+    with open(f"{outdir}/fit_b{args.boardsize}.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    print(f"[scaling] {json.dumps(summary)}", flush=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("stage", choices=["train", "evaluate", "fit", "all"])
+    p.add_argument("--boardsize", type=int, default=7)
+    p.add_argument("--envs", type=int, default=1024)
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--sizes", default=DEFAULT_SIZES)
+    p.add_argument("--envs-per", type=int, default=4)
+    p.add_argument("--league-envs", type=int, default=1024)
+    args = p.parse_args()
+
+    if args.stage in ("train", "all"):
+        train(args)
+    if args.stage in ("evaluate", "all"):
+        evaluate(args)
+    if args.stage in ("fit", "all"):
+        fit(args)
+
+
+if __name__ == "__main__":
+    main()
