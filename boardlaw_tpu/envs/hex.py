@@ -48,26 +48,36 @@ _COLORMAP[[BLACK, TOP, BOT]] = 0
 _COLORMAP[[WHITE, LEFT, RIGHT]] = 1
 
 
-def _neighbour_values(board, row, col):
-    """Values of the 6 neighbours of (row, col) per env, with virtual edge
-    labels for off-board neighbours: r<0 -> TOP, r>=S -> BOT, c<0 -> LEFT,
-    c>=S -> RIGHT (hex/cpp/cpu.cpp:94-103).
+def _padded_with_edges(board):
+    """Board padded by one ring of virtual edge-label cells: the top/bottom
+    rows are TOP/BOT and the side columns LEFT/RIGHT. Corner precedence
+    follows the reference's r<0 -> TOP, r>=S -> BOT checks coming before the
+    column checks (hex/cpp/cpu.cpp:94-103): the two reachable corners (via
+    the (-1,+1) and (+1,-1) hex offsets) must read TOP and BOT, so the
+    TOP/BOT rows span the full padded width."""
+    B, S, _ = board.shape
+    p = jnp.pad(board, ((0, 0), (1, 1), (1, 1)))
+    p = p.at[:, :, 0].set(LEFT).at[:, :, -1].set(RIGHT)
+    p = p.at[:, 0, :].set(TOP).at[:, -1, :].set(BOT)
+    return p
 
-    board: (B, S, S) uint8; row/col: (B,) int32. Returns (B, 6) int32.
+
+def _neighbour_values(board, pos):
+    """Values of the 6 neighbours of the one-hot cell `pos` per env, with
+    virtual edge labels for off-board neighbours (hex/cpp/cpu.cpp:94-103).
+
+    board: (B, S, S) uint8; pos: (B, S, S) bool one-hot. Returns (B, 6) i32.
+
+    TPU formulation: no per-env gathers — each neighbour is a static slice of
+    the edge-padded board masked by `pos` and lane-reduced, so the whole read
+    is 6 fused (B,S,S) vector reductions.
     """
     S = board.shape[-1]
-    B = board.shape[0]
-    envs = jnp.arange(B)
+    p = _padded_with_edges(board).astype(jnp.int32)
     vals = []
     for dr, dc in NEIGHBOURS:
-        r = row + dr
-        c = col + dc
-        on = board[envs, jnp.clip(r, 0, S - 1), jnp.clip(c, 0, S - 1)].astype(jnp.int32)
-        v = jnp.where(r < 0, TOP,
-            jnp.where(r >= S, BOT,
-            jnp.where(c < 0, LEFT,
-            jnp.where(c >= S, RIGHT, on))))
-        vals.append(v)
+        shifted = p[:, 1 + dr : 1 + dr + S, 1 + dc : 1 + dc + S]
+        vals.append(jnp.where(pos, shifted, 0).sum((1, 2)))
     return jnp.stack(vals, -1)
 
 
@@ -81,23 +91,26 @@ def _dilate(frontier):
     return out
 
 
-def _flood(board, row, col, new_val):
-    """Relabel the same-coloured connected group containing (row, col) with
-    ``new_val`` wherever ``new_val`` is an edge label (>= TOP); no-op envs keep
-    their board (hex/cpp/cpu.cpp:15-68, batched).
+def _flood(board, pos, stone, new_val):
+    """Relabel the same-coloured connected group containing the one-hot cell
+    ``pos`` with ``new_val`` wherever ``new_val`` is an edge label (>= TOP);
+    no-op envs keep their board (hex/cpp/cpu.cpp:15-68, batched).
 
-    board: (B,S,S) uint8 with the stone already placed at (row, col).
+    board: (B,S,S) uint8 with the stone already placed at ``pos``.
+
+    Perf notes (chip-measured): the flood is seeded ONLY in envs that
+    actually relabel (new_val >= TOP) — most mid-game placements don't touch
+    an edge group, so the lockstep iteration count tracks the groups being
+    relabelled, not every placement. Each while iteration runs 4 dilations
+    per convergence check: the check is a global reduction that serialises
+    the loop, so checking every step pays 4x the latency for at most 3
+    wasted (trivially cheap) dilations.
     """
     B, S, _ = board.shape
-    envs = jnp.arange(B)
-    old_val = board[envs, row, col]  # BLACK or WHITE, just placed
-    own = board == old_val[:, None, None]
+    own = board == stone[:, None, None]
     active = (new_val >= TOP)[:, None, None]
 
-    seed = jnp.zeros((B, S, S), bool).at[envs, row, col].set(True)
-
-    def body(frontier):
-        return _dilate(frontier) & own
+    seed = pos & active
 
     def cond(carry):
         frontier, grew = carry
@@ -105,11 +118,13 @@ def _flood(board, row, col, new_val):
 
     def step(carry):
         frontier, _ = carry
-        nxt = body(frontier) | frontier
+        nxt = frontier
+        for _ in range(4):
+            nxt = _dilate(nxt) & own
         grew = (nxt != frontier).any()
         return nxt, grew
 
-    frontier, _ = jax.lax.while_loop(cond, step, (seed & own, jnp.array(True)))
+    frontier, _ = jax.lax.while_loop(cond, step, (seed, seed.any()))
     return jnp.where(frontier & active, new_val[:, None, None].astype(board.dtype), board)
 
 
@@ -123,7 +138,6 @@ def _step_boards(board, seats, actions):
     """
     S = board.shape[-1]
     B = board.shape[0]
-    envs = jnp.arange(B)
     seats = seats.astype(jnp.int32)
     actions = actions.astype(jnp.int32)
 
@@ -131,7 +145,15 @@ def _step_boards(board, seats, actions):
     row = jnp.where(seats == 0, actions // S, actions % S)
     col = jnp.where(seats == 0, actions % S, actions // S)
 
-    nv = _neighbour_values(board, row, col)
+    # one-hot placement mask — every read/write below is a masked vector op
+    # on (B,S,S), never a per-env varying-index gather/scatter (those lower
+    # ~10x worse on TPU)
+    iota = jnp.arange(S)
+    pos = (iota[None, :, None] == row[:, None, None]) & (
+        iota[None, None, :] == col[:, None, None]
+    )
+
+    nv = _neighbour_values(board, pos)
     adj_top = (nv == TOP).any(-1)
     adj_bot = (nv == BOT).any(-1)
     adj_left = (nv == LEFT).any(-1)
@@ -149,8 +171,8 @@ def _step_boards(board, seats, actions):
     ).astype(board.dtype)
 
     stone = jnp.where(black, BLACK, WHITE).astype(board.dtype)
-    board = board.at[envs, row, col].set(stone)
-    board = _flood(board, row, col, new_val)
+    board = jnp.where(pos, stone[:, None, None], board)
+    board = _flood(board, pos, stone, new_val)
     return board, rewards
 
 

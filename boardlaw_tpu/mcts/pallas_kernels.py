@@ -193,8 +193,7 @@ def node_actions(tree, rands, q_bounds, block_envs=16, interpret=False, mesh=Non
 
 
 def _walk_kernel(
-    acts_ref, nxt_ref, term_ref, rootterm_ref,
-    parents_ref, actions_ref, child_ref, path_ref, *, E, T,
+    acts_ref, nxt_ref, term_ref, rootterm_ref, out_ref, *, E, T,
 ):
     """The root->leaf pointer chase of search._walk, fully in VMEM.
 
@@ -202,6 +201,12 @@ def _walk_kernel(
     XLA lowers each level's masked reductions to separate kernels (~0.2ms x
     3 x T levels), here the whole chase is one kernel over (E,T) blocks: T
     unrolled levels of one-hot selects on VMEM-resident i32 tiles.
+
+    SINGLE packed output (E, T+3): lanes 0..T-1 the path, then parents /
+    actions / halt_child. Separate (B,1) outputs each tile-pad their lane dim
+    to 128 and the compiler allocates whole pallas outputs inside loop bodies
+    in scoped VMEM — three padded (B,128) i32 outputs blow the 16MB scoped
+    limit at 16k envs (measured 22.56M); the packed form pads once.
     """
     node_iota = jax.lax.broadcasted_iota(jnp.int32, (E, T), 1)
     ACTS = acts_ref[:, :]
@@ -225,20 +230,22 @@ def _walk_kernel(
         h_t = (c_t < 0) | (t_child > 0)
         parents = jnp.where(active, t, parents)
         actions = jnp.where(active, a_t, actions)
-        path_ref[:, level : level + 1] = jnp.where(active, t, -1)[:, None]
+        out_ref[:, level : level + 1] = jnp.where(active, t, -1)[:, None]
         newly = active & h_t
         halt_child = jnp.where(newly, c_t, halt_child)
         active = active & ~h_t
         t = jnp.where(active, c_t, t)
 
-    parents_ref[:, 0] = parents
-    actions_ref[:, 0] = actions
-    child_ref[:, 0] = halt_child
+    out_ref[:, T : T + 1] = parents[:, None]
+    out_ref[:, T + 1 : T + 2] = actions[:, None]
+    out_ref[:, T + 2 : T + 3] = halt_child[:, None]
 
 
-def walk(tree, acts, nxt, block_envs=256, interpret=False, mesh=None, mesh_axis="dp"):
+def walk(terminal, acts, nxt, block_envs=256, interpret=False, mesh=None, mesh_axis="dp"):
     """Pallas twin of search's halt+_walk: (parents, actions, halt_child,
-    path) from the per-node sampled actions and child pointers."""
+    path) from the per-node sampled actions and child pointers. `terminal`
+    is the tree's (B,T) node-terminal flags; rows are independent, so a
+    multi-leaf caller folds its K axis into B."""
     B, T = acts.shape
     E = block_envs
     shards = mesh.shape[mesh_axis] if mesh is not None else 1
@@ -251,29 +258,25 @@ def walk(tree, acts, nxt, block_envs=256, interpret=False, mesh=None, mesh_axis=
         grid = (Bl // E,)
         vec_spec = pl.BlockSpec((E, T), lambda i: (i, 0), memory_space=pltpu.VMEM)
         one_spec = pl.BlockSpec((E, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((E, T + 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
         kernel = functools.partial(_walk_kernel, E=E, T=T)
         return pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[vec_spec, vec_spec, vec_spec, one_spec],
-            out_specs=[one_spec, one_spec, one_spec, vec_spec],
-            out_shape=[
-                jax.ShapeDtypeStruct((Bl, 1), jnp.int32),
-                jax.ShapeDtypeStruct((Bl, 1), jnp.int32),
-                jax.ShapeDtypeStruct((Bl, 1), jnp.int32),
-                jax.ShapeDtypeStruct((Bl, T), jnp.int32),
-            ],
+            out_specs=[out_spec],
+            out_shape=[jax.ShapeDtypeStruct((Bl, T + 3), jnp.int32)],
             interpret=interpret,
-        )(acts, nxt, term, rootterm)
+        )(acts, nxt, term, rootterm)[0]
 
-    inner = _shardwrap(inner, mesh, mesh_axis, n_batch_args=4, n_rep_args=0, n_outs=4)
-    parents, actions, child, path = inner(
+    inner = _shardwrap(inner, mesh, mesh_axis, n_batch_args=4, n_rep_args=0, n_outs=1)
+    packed = inner(
         acts.astype(jnp.int32),
         nxt.astype(jnp.int32),
-        tree.terminal.astype(jnp.int32),
-        tree.terminal[:, 0:1].astype(jnp.int32),
+        terminal.astype(jnp.int32),
+        terminal[:, 0:1].astype(jnp.int32),
     )
-    return parents[:, 0], actions[:, 0], child[:, 0], path
+    return packed[:, T], packed[:, T + 1], packed[:, T + 2], packed[:, :T]
 
 
 def _descend_kernel(

@@ -46,6 +46,15 @@ class MCTSConfig:
     noise_eps: float = 0.25
     alpha_scale: float = 10.0
     backup_n: str = "seats"  # 'seats' = reference behaviour, 'visits' = fixed
+    # Batched MCTS: expand K leaves per pass from ONE all-node solve + ONE
+    # net eval over K*B leaf worlds. K=1 is exactly the reference's
+    # sequential search; K>1 trades per-sim sequential information for
+    # throughput (the K walks all sample from the same pre-pass stats, so a
+    # pass's leaves are i.i.d. draws rather than virtual-loss-diversified;
+    # duplicate draws of one unexpanded edge collapse to a single expansion
+    # backed up once per draw). Tree capacity spends K slots per pass, so
+    # n_nodes stays the node budget.
+    leaves_per_pass: int = 1
     tree_dtype: object = jnp.float32  # storage dtype for logits
     # Compact tree bookkeeping: int8 child pointers (valid while n_nodes<=127)
     # and bf16 edge visit counts (exact while total visits<=256, i.e.
@@ -68,7 +77,9 @@ class MCTSConfig:
     # the pointer-chase walk kernel: None = auto (on on TPU when the env
     # count divides), True/False force, 'interpret' for CPU testing
     pallas_walk: object = None
-    pallas_walk_envs: int = 256
+    # 64-env blocks: the T-level unrolled chase holds ~T live (E,T) i32
+    # vectors; E=256 blows the 16MB scoped-VMEM stack limit (measured 22.5M)
+    pallas_walk_envs: int = 64
     mesh: object = None  # jax.sharding.Mesh — shard kernels via shard_map
     mesh_axis: str = "dp"
 
@@ -161,7 +172,9 @@ def build(world, cfg: MCTSConfig):
     """Preallocate the tree with the root world in slot 0
     (reference mcts/__init__.py:29-70)."""
     B = world.n_envs
-    T = cfg.n_nodes
+    K = cfg.leaves_per_pass
+    # K>1 allocates K slots per pass: capacity covers every pass's slots
+    T = cfg.n_nodes if K == 1 else 1 + K * (-(-(cfg.n_nodes - 1) // K))
     A = world.action_space.dim
     S = world.n_seats
 
@@ -378,17 +391,10 @@ def descend_reference(tree, rands):
     return parents, actions
 
 
-def node_actions(tree, rands, q_bounds):
-    """Solve pi_bar and sample an action for EVERY node of every env in one
-    fully-vectorized pass -> (actions (B,T) int32, child (B,T) int32).
-
-    Correct because the search uses one pre-drawn uniform per NODE
-    (rands[b,t], reference mcts/cpp/cuda.cu:184-203): a node's sampled action
-    doesn't depend on where the walk is, so all T solves can run in parallel.
-    This turns the descend hot path from a level-serial walk (the reference's
-    per-thread loop / our Pallas VMEM walk) into one bandwidth-bound (B,T,A)
-    elementwise pass that XLA fuses end-to-end — TPU-first reformulation.
-    """
+def node_probs(tree, q_bounds):
+    """Solved pi_bar for EVERY node of every env in one fully-vectorized
+    pass -> (B,T,A) f32. The Newton solve is the expensive part of descend;
+    computing it per-node once lets K samples share one solve."""
     B, T, A = tree.children.shape
     lo, hi = q_bounds
 
@@ -403,16 +409,35 @@ def node_actions(tree, rands, q_bounds):
     N = counts.sum(-1)  # (B,T)
     lam = tree.c_puct[:, None] * N / (N + A)
 
-    probs = solve_policy(
+    return solve_policy(
         pi.reshape(B * T, A), q.reshape(B * T, A), lam.reshape(B * T)
-    )
-    actions = _sample(probs, rands.reshape(B * T)).reshape(B, T)
+    ).reshape(B, T, A)
 
+
+def _sample_children(tree, probs, rands):
+    """Sample an action per node from solved probs and look up its child
+    pointer -> (actions (B,T) i32, child (B,T) i32)."""
+    B, T, A = tree.children.shape
+    actions = _sample(probs.reshape(B * T, A), rands.reshape(B * T)).reshape(B, T)
     # child pointer per node via one-hot contraction (stays inside the same
     # fused pass; a per-element gather would lower to a slow scatter-gather)
     onehot = jax.nn.one_hot(actions, A, dtype=jnp.float32)
     child = (tree.children.astype(jnp.float32) * onehot).sum(-1).astype(jnp.int32)
     return actions, child
+
+
+def node_actions(tree, rands, q_bounds):
+    """Solve pi_bar and sample an action for EVERY node of every env in one
+    fully-vectorized pass -> (actions (B,T) int32, child (B,T) int32).
+
+    Correct because the search uses one pre-drawn uniform per NODE
+    (rands[b,t], reference mcts/cpp/cuda.cu:184-203): a node's sampled action
+    doesn't depend on where the walk is, so all T solves can run in parallel.
+    This turns the descend hot path from a level-serial walk (the reference's
+    per-thread loop / our Pallas VMEM walk) into one bandwidth-bound (B,T,A)
+    elementwise pass that XLA fuses end-to-end — TPU-first reformulation.
+    """
+    return _sample_children(tree, node_probs(tree, q_bounds), rands)
 
 
 def _take_scalar(arr, t):
@@ -488,21 +513,29 @@ def _walk(acts, nxt, halt, root_terminal):
     return parents, actions, halt_child, path
 
 
-def _walk_any(tree, acts, nxt, cfg):
-    """The pointer chase (Pallas kernel when cfg enables it, else the XLA
-    unrolled walk) -> (parents, actions, halt_child, path)."""
+def _walk_flat(terminal, acts, nxt, cfg):
+    """The pointer chase on flat (B',T) arrays (Pallas kernel when cfg
+    enables it, else the XLA unrolled walk) -> (parents, actions, halt_child,
+    path). Rows are independent: multi-leaf callers fold K into B'."""
     B = acts.shape[0]
     if _pallas_walk_enabled(cfg, B):
         from . import pallas_kernels
 
         return pallas_kernels.walk(
-            tree, acts, nxt,
+            terminal, acts, nxt,
             block_envs=cfg.pallas_walk_envs,
             interpret=cfg.pallas_walk == "interpret",
             mesh=cfg.mesh, mesh_axis=cfg.mesh_axis,
         )
-    halt = _halt_of(tree, nxt)
-    return _walk(acts, nxt, halt, tree.terminal[:, 0])
+    term_child = jnp.take_along_axis(terminal, jnp.clip(nxt, 0), axis=1)
+    halt = (nxt == -1) | term_child
+    return _walk(acts, nxt, halt, terminal[:, 0])
+
+
+def _walk_any(tree, acts, nxt, cfg):
+    """The pointer chase (Pallas kernel when cfg enables it, else the XLA
+    unrolled walk) -> (parents, actions, halt_child, path)."""
+    return _walk_flat(tree.terminal, acts, nxt, cfg)
 
 
 def descend(tree, rands, cfg=None):
@@ -598,21 +631,9 @@ def _apply_deltas(tree, dn, dw):
     )
 
 
-def backup_path(tree, path, acts, leaves, n_per_visit):
-    """`backup`, but along the path RECORDED by `_walk` instead of re-chasing
-    parent pointers — same results (n/n_edge exact; w/w_edge to f32 roundoff
-    from the different summation order), no while_loop, no scatters.
-
-    TPU formulation: every per-level lookup (terminal / rewards / seats /
-    actions along the path) is ONE batched one-hot matmul on the MXU; the
-    leaf->root value recursion then runs on compact (B, S) tensors — a pure
-    elementwise chain XLA fuses into a single kernel (a dense (B,T)-wide
-    per-level loop lowers to ~2ms/level of unfused reduction kernels; this
-    whole function is a handful of einsums). The edge routing contracts the
-    path one-hots directly: d_edge[b,t,a] = sum_l onehotP[b,l,t] *
-    onehotA[b,l,a] * coef[b,l] — one batched matmul instead of the 12ms
-    (B,T)-indexed scatter-add.
-    """
+def _path_deltas(tree, path, acts, leaves, n_per_visit):
+    """The (dn, dw, d_ne, d_we) stat deltas from backing up one recorded
+    root->leaf path per env — the einsum core of `backup_path`."""
     B, T, S = tree.w.shape
     A = tree.children.shape[-1]
     Laug = T + 1  # path levels plus the leaf slot
@@ -680,12 +701,52 @@ def backup_path(tree, path, acts, leaves, n_per_visit):
                       onehotA.astype(f32) * we_coef[..., None],
                       preferred_element_type=f32, precision=hi)
 
+    return dn, dw, d_ne, d_we
+
+
+def _apply_path_deltas(tree, dn, dw, d_ne, d_we):
     return tree.replace(
         n=tree.n + jnp.round(dn).astype(tree.n.dtype),
         w=tree.w + dw,
         n_edge=tree.n_edge + d_ne.astype(tree.n_edge.dtype),
         w_edge=tree.w_edge + d_we.astype(tree.w_edge.dtype),
     )
+
+
+def backup_path(tree, path, acts, leaves, n_per_visit):
+    """`backup`, but along the path RECORDED by `_walk` instead of re-chasing
+    parent pointers — same results (n/n_edge exact; w/w_edge to f32 roundoff
+    from the different summation order), no while_loop, no scatters.
+
+    TPU formulation: every per-level lookup (terminal / rewards / seats /
+    actions along the path) is ONE batched one-hot matmul on the MXU; the
+    leaf->root value recursion then runs on compact (B, S) tensors — a pure
+    elementwise chain XLA fuses into a single kernel (a dense (B,T)-wide
+    per-level loop lowers to ~2ms/level of unfused reduction kernels; this
+    whole function is a handful of einsums). The edge routing contracts the
+    path one-hots directly: d_edge[b,t,a] = sum_l onehotP[b,l,t] *
+    onehotA[b,l,a] * coef[b,l] — one batched matmul instead of the 12ms
+    (B,T)-indexed scatter-add.
+    """
+    return _apply_path_deltas(tree, *_path_deltas(tree, path, acts, leaves, n_per_visit))
+
+
+def backup_paths(tree, paths, acts, leaves, n_per_visit):
+    """Back up K recorded paths per env in one update (the multi-leaf pass of
+    `simulate_multi`). paths (K,B,T), acts (K,B,T), leaves (K,B). Each path's
+    deltas come from the SAME pre-pass tree stats; they sum into one replace
+    (shared ancestors accumulate all K visits, as K sequential backups
+    would). K is small and static: a Python loop keeps peak memory at one
+    path's one-hots while XLA still overlaps the K einsum chains."""
+    K = paths.shape[0]
+    dn = dw = d_ne = d_we = None
+    for k in range(K):
+        dk = _path_deltas(tree, paths[k], acts[k], leaves[k], n_per_visit)
+        if dn is None:
+            dn, dw, d_ne, d_we = dk
+        else:
+            dn, dw, d_ne, d_we = dn + dk[0], dw + dk[1], d_ne + dk[2], d_we + dk[3]
+    return _apply_path_deltas(tree, dn, dw, d_ne, d_we)
 
 
 # --------------------------------------------------------------------------
@@ -778,6 +839,114 @@ def simulate(tree, eval_fn, key, cfg: MCTSConfig):
     return backup(tree, leaves, n_per_visit)
 
 
+def simulate_multi(tree, eval_fn, key, cfg: MCTSConfig):
+    """One batched-MCTS pass: K = cfg.leaves_per_pass leaves descend, expand
+    and back up together, sharing ONE all-node policy solve and ONE net eval
+    over the K*B leaf worlds (the amortization the reference cannot do — its
+    per-thread walk is inherently one-leaf, mcts/cpp/cuda.cu:138-182).
+
+    Divergence from K sequential sims (deliberate, K=1 stays exact): the K
+    walks sample i.i.d. from the SAME pre-pass tree stats (policy sampling
+    already diversifies them — no virtual loss needed), duplicate draws of
+    one unexpanded edge collapse to one node expansion backed up once per
+    draw, and a pass consumes K node slots regardless of duplicates.
+    """
+    K = cfg.leaves_per_pass
+    B, T, A = tree.children.shape
+    k_rand, k_eval = jax.random.split(key)
+    rands = jax.random.uniform(k_rand, (K, B, T))
+
+    probs = node_probs(tree, _q_bounds(tree))  # one solve for all K
+    acts = []
+    nxts = []
+    for k in range(K):
+        a_k, c_k = _sample_children(tree, probs, rands[k])
+        acts.append(a_k)
+        nxts.append(c_k)
+    acts = jnp.stack(acts)  # (K,B,T)
+    nxts = jnp.stack(nxts)
+
+    # K pointer chases, folded into the batch axis
+    term_flat = jnp.broadcast_to(tree.terminal[None], (K, B, T)).reshape(K * B, T)
+    p_f, a_f, h_f, path_f = _walk_flat(
+        term_flat, acts.reshape(K * B, T), nxts.reshape(K * B, T), cfg
+    )
+    parents = p_f.reshape(K, B)
+    actions = a_f.reshape(K, B)
+    halt_child = h_f.reshape(K, B)
+    paths = path_f.reshape(K, B, T)
+
+    # dedup: walks halting at the same (parent, action) edge collapse — only
+    # the FIRST writes; later ones redirect their leaf to the first's slot
+    keys_e = parents * A + actions  # (K,B) edge ids (injective)
+    new = halt_child == -1
+    slots = tree.sim + jnp.arange(K, dtype=jnp.int32)  # (K,)
+    leaves = jnp.where(new, slots[:, None], halt_child)  # (K,B)
+    write = [jnp.ones((B,), bool)]
+    for k in range(1, K):
+        dup = jnp.zeros((B,), bool)
+        for j in range(k):
+            same = keys_e[j] == keys_e[k]
+            dup = dup | same
+            leaves = leaves.at[k].set(jnp.where(same, leaves[j], leaves[k]))
+        write.append(~dup)
+    write = jnp.stack(write)  # (K,B)
+
+    f32 = jnp.float32
+    ohP = jax.nn.one_hot(parents, T, dtype=f32)  # (K,B,T); -1 rows -> zero
+    ohA = jax.nn.one_hot(actions, A, dtype=f32)  # (K,B,A)
+    ohL = jax.nn.one_hot(leaves, T, dtype=f32) * write[:, :, None]  # (K,B,T)
+
+    # children pointers: one contraction for mask and value (write-deduped,
+    # so every (t,a) cell has at most one contributor)
+    ohPw = ohP * write[:, :, None]
+    mask_e = jnp.einsum("kbt,kba->bta", ohPw, ohA, preferred_element_type=f32)
+    val_e = jnp.einsum("kbt,kba->bta", ohPw, ohA * leaves[:, :, None],
+                       preferred_element_type=f32)
+    children = jnp.where(mask_e > 0.5, val_e.astype(tree.children.dtype), tree.children)
+
+    # leaf worlds: gather the K parent rows by one-hot contraction (the big
+    # tensors stream once for all K), step them, evaluate in one K*B batch
+    def gather_rows(full):  # (B,T,...) -> (K,B,...)
+        flat = full.reshape(B, T, -1).astype(f32)
+        out = jnp.einsum("kbt,btf->kbf", ohP, flat, preferred_element_type=f32)
+        return out.reshape((K, B) + full.shape[2:]).astype(full.dtype)
+
+    old_worlds = jax.tree.map(gather_rows, tree.worlds)
+    old_flat = jax.tree.map(lambda x: x.reshape((K * B,) + x.shape[2:]), old_worlds)
+    world_flat, transition = old_flat.step(actions.reshape(K * B))
+    decisions = eval_fn(world_flat, k_eval)
+
+    row_mask = jnp.einsum("kbt->bt", ohL) > 0.5  # (B,T)
+
+    def set_rows(full, new_kb):
+        # full (B,T,F...) <- new (K,B,F...) at the deduped leaf rows
+        newf = new_kb.reshape(K, B, -1).astype(f32)
+        val = jnp.einsum("kbt,kbf->btf", ohL, newf, preferred_element_type=f32)
+        val = val.reshape((B, T) + new_kb.shape[2:])
+        mask = row_mask.reshape((B, T) + (1,) * (full.ndim - 2))
+        return jnp.where(mask, val.astype(full.dtype), full)
+
+    unflat = lambda x: x.reshape((K, B) + x.shape[1:])
+    tree = tree.replace(
+        children=children,
+        parents=set_rows(tree.parents, jnp.broadcast_to(parents, (K, B))),
+        relation=set_rows(tree.relation, actions),
+        worlds=jax.tree.map(
+            lambda full, new: set_rows(full, unflat(new)), tree.worlds, world_flat
+        ),
+        seats=set_rows(tree.seats, unflat(world_flat.seats.astype(jnp.int32))),
+        terminal=set_rows(tree.terminal, unflat(transition.terminal)),
+        rewards=set_rows(tree.rewards, unflat(transition.rewards)),
+        logits=set_rows(tree.logits, unflat(_clamp_logits(decisions["logits"]))),
+        v=set_rows(tree.v, unflat(decisions["v"])),
+        sim=tree.sim + K,
+    )
+
+    n_per_visit = tree.w.shape[-1] if cfg.backup_n == "seats" else 1
+    return backup_paths(tree, paths, acts, leaves, n_per_visit)
+
+
 def root(tree):
     """The improved root policy (training target), prior, and root value
     (reference mcts/__init__.py:142-149)."""
@@ -796,18 +965,29 @@ def n_leaves(tree):
 
 
 def mcts(world, eval_fn, key, cfg: MCTSConfig):
-    """Full search: initialize the root, then n_nodes-1 simulations as one
-    `lax.scan` (reference mcts/__init__.py:200-207)."""
+    """Full search: initialize the root, then n_nodes-1 node expansions as
+    one `lax.scan` (reference mcts/__init__.py:200-207) — one leaf per sim,
+    or K per pass when cfg.leaves_per_pass > 1 (batched MCTS)."""
     k_init, k_sims = jax.random.split(key)
 
     tree = build(world, cfg)
     decisions = eval_fn(world, None)
     tree = initialize(tree, decisions, k_init, cfg, world.valid)
 
-    def body(tree, k):
-        return simulate(tree, eval_fn, k, cfg), None
+    K = cfg.leaves_per_pass
+    if K > 1:
+        n_passes = -(-(cfg.n_nodes - 1) // K)
 
-    keys = jax.random.split(k_sims, cfg.n_nodes - 1)
+        def body(tree, k):
+            return simulate_multi(tree, eval_fn, k, cfg), None
+
+        keys = jax.random.split(k_sims, n_passes)
+    else:
+
+        def body(tree, k):
+            return simulate(tree, eval_fn, k, cfg), None
+
+        keys = jax.random.split(k_sims, cfg.n_nodes - 1)
     tree, _ = jax.lax.scan(body, tree, keys)
     return tree
 

@@ -17,6 +17,7 @@ a single fused chain of 64 full searches faults this runtime — CLAUDE.md).
 
 Usage: python scripts/profile_mcts.py [n_envs] [--xla] (force XLA kernels)
 """
+import dataclasses
 import sys, os, time, json
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -149,7 +150,8 @@ def main():
             world, transition = old_world.step(actions)
             decisions = eval_fn(world, k_eval)
             tree = tree.replace(
-                children=tree.children.at[envs, parents, actions].set(leaves),
+                children=tree.children.at[envs, parents, actions].set(
+                    leaves.astype(tree.children.dtype)),
                 parents=tree.parents.at[envs, leaves].set(parents),
                 relation=tree.relation.at[envs, leaves].set(actions),
                 worlds=jax.tree.map(lambda full, new: full.at[envs, leaves].set(new), tree.worlds, world),
@@ -202,6 +204,34 @@ def main():
         tree, _ = jax.lax.scan(body, tree, jax.random.split(key, CHUNK))
         return tree.n
 
+    # Batched multi-leaf pass: K leaves per pass, CHUNK passes chained.
+    # NOTE the host-sync quantum of this runtime (~32ms per jitted call,
+    # scripts/micro_bench4.py): component timings at CHUNK=8 carry a ~4ms/step
+    # inflation; only multi-ms numbers are trustworthy.
+    K = 8
+    mcfg_multi = dataclasses.replace(mcfg, leaves_per_pass=K, use_pallas=False)
+
+    @jax.jit
+    def t_multi(tree, key):
+        def body(tree, k):
+            return search.simulate_multi(tree, eval_fn, k, mcfg_multi), None
+
+        tree, _ = jax.lax.scan(body, tree, jax.random.split(key, CHUNK))
+        return tree.n
+
+    # tree built with the multi capacity (T = 1 + K*ceil((n_nodes-1)/K))
+    @jax.jit
+    def build_tree_multi(world, key):
+        k_init, k_sims = jax.random.split(key)
+        tree = search.build(world, mcfg_multi)
+        tree = search.initialize(tree, eval_fn(world, None), k_init, mcfg_multi, world.valid)
+
+        def body(tree, k):
+            return search.simulate_multi(tree, eval_fn, k, mcfg_multi), None
+
+        tree, _ = jax.lax.scan(body, tree, jax.random.split(k_sims, 3))
+        return tree
+
     results = {}
     results["qbounds"] = timed("qbounds", t_qbounds, tree, key)
     results["eval"] = timed("eval", t_eval, world, key)
@@ -212,10 +242,16 @@ def main():
     results["expand"] = timed("expand", t_expand, tree, key)
     results["simulate"] = timed("simulate", t_simulate, tree, key)
 
+    tree_m = build_tree_multi(world, jax.random.PRNGKey(1))
+    jax.block_until_ready(tree_m.n)
+    results["multi-pass"] = timed("multi-pass", t_multi, tree_m, key)
+
     sims_per_s = n_envs / results["simulate"]
-    print(json.dumps({"n_envs": n_envs, "pallas": use_pallas,
+    multi_sims_per_s = K * n_envs / results["multi-pass"]
+    print(json.dumps({"n_envs": n_envs, "pallas": use_pallas, "K": K,
                       "ms": {k: round(v * 1e3, 2) for k, v in results.items()},
-                      "sims_per_s": round(sims_per_s)}))
+                      "sims_per_s": round(sims_per_s),
+                      "multi_sims_per_s": round(multi_sims_per_s)}))
 
 
 if __name__ == "__main__":

@@ -370,3 +370,93 @@ def test_backup_path_matches_backup(monkeypatch):
             np.asarray(getattr(tree_chase, name)),
             atol=1e-5, err_msg=name,
         )
+
+
+# --------------------------------------------------------------------------
+# Batched multi-leaf MCTS (leaves_per_pass > 1)
+# --------------------------------------------------------------------------
+
+def test_multi_k1_matches_simulate():
+    # simulate_multi with K=1 must reproduce the sequential XLA path exactly
+    # (same rands, same walk, same writes, same backup)
+    world = hex.Hex.initial(n_envs=16, boardsize=5)
+    agent = validation.RandomAgent()
+    cfg1 = M.MCTSConfig(n_nodes=17, use_pallas=False)
+    cfgm = M.MCTSConfig(n_nodes=17, use_pallas=False, leaves_per_pass=1)
+    key = jax.random.PRNGKey(2)
+
+    tree1 = M.search.build(world, cfg1)
+    d = agent(world, None)
+    tree1 = M.search.initialize(tree1, d, key, cfg1, world.valid)
+    treem = tree1
+
+    for i in range(8):
+        k = jax.random.PRNGKey(100 + i)
+        tree1 = M.search.simulate(tree1, agent, k, cfg1)
+        treem = M.search.simulate_multi(treem, agent, k, cfgm)
+
+    np.testing.assert_array_equal(np.asarray(tree1.children), np.asarray(treem.children))
+    np.testing.assert_array_equal(np.asarray(tree1.n), np.asarray(treem.n))
+    np.testing.assert_array_equal(
+        np.asarray(tree1.n_edge, np.float32), np.asarray(treem.n_edge, np.float32))
+    np.testing.assert_allclose(
+        np.asarray(tree1.w), np.asarray(treem.w), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(tree1.logits, np.float32), np.asarray(treem.logits, np.float32),
+        atol=1e-5)
+
+
+def test_multi_invariants():
+    # K=4: slot accounting, pointer consistency, edge/node stat consistency
+    world = hex.Hex.initial(n_envs=32, boardsize=5)
+    agent = validation.RandomAgent()
+    cfg = M.MCTSConfig(n_nodes=25, leaves_per_pass=4, use_pallas=False)
+    tree = jax.jit(lambda w, k: M.search.mcts(w, agent, k, cfg))(
+        world, jax.random.PRNGKey(5))
+
+    children = np.asarray(tree.children, np.int32)
+    parents = np.asarray(tree.parents)
+    relation = np.asarray(tree.relation)
+    n_edge = np.asarray(tree.n_edge, np.float32)
+    B, T, A = children.shape
+    assert T == 1 + 4 * 6  # capacity = 1 + K * ceil((n_nodes-1)/K)
+    assert int(tree.sim) == T
+
+    for b in range(8):
+        for t in range(T):
+            for a in range(A):
+                c = children[b, t, a]
+                if c >= 0:
+                    # pointer consistency: child's parent/relation row agrees
+                    assert parents[b, c] == t, (b, t, a, c)
+                    assert relation[b, c] == a
+        # visited edges have positive counts; root visits sum to total visits
+        assert n_edge[b, 0].sum() > 0
+
+
+def test_multi_planted_game():
+    # the K>1 search must still solve the planted 3x3 position
+    world = hex.from_string("""
+    wb.
+    bw.
+    wb.
+    """)
+    agent = validation.RandomAgent()
+    cfg = M.MCTSConfig(n_nodes=63, c_puct=1.0, noise_eps=0.0, leaves_per_pass=4,
+                       use_pallas=False)
+    run = jax.jit(lambda w, k: M.root(M.mcts(w, agent, k, cfg)))
+    r = run(world, jax.random.PRNGKey(3))
+    probs = np.exp(np.asarray(r["logits"][0]))
+    assert probs[2] > probs[8] and probs[5] > probs[7]
+
+
+def test_multi_depth_value():
+    # planted exact value still recovered with K=2 on the All game
+    world = validation.All.initial(n_envs=2, length=3)
+    agent = validation.ProxyAgent()
+    cfg = M.MCTSConfig(n_nodes=15, noise_eps=0.0, leaves_per_pass=2,
+                       use_pallas=False)
+    tree = jax.jit(lambda w, k: M.search.mcts(w, agent, k, cfg))(
+        world, jax.random.PRNGKey(1))
+    r = M.root(tree)
+    np.testing.assert_allclose(np.asarray(r["v"]), [[1 / 8], [1 / 8]], atol=1e-5)

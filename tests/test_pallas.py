@@ -151,7 +151,7 @@ def test_walk_kernel_matches_xla():
 
     halt = S._halt_of(tree, nxt)
     p_x, a_x, c_x, path_x = S._walk(acts, nxt, halt, tree.terminal[:, 0])
-    p_p, a_p, c_p, path_p = PK.walk(tree, acts, nxt, block_envs=8, interpret=True)
+    p_p, a_p, c_p, path_p = PK.walk(tree.terminal, acts, nxt, block_envs=8, interpret=True)
 
     np.testing.assert_array_equal(np.asarray(p_x), np.asarray(p_p))
     np.testing.assert_array_equal(np.asarray(a_x), np.asarray(a_p))
