@@ -218,6 +218,10 @@ def _walk_kernel(
     parents = jnp.zeros((E,), jnp.int32)
     actions = jnp.full((E,), -1, jnp.int32)
     halt_child = jnp.full((E,), -1, jnp.int32)
+    # the path accumulates in a VMEM-register (E,T) matrix — per-level
+    # single-lane stores cost a tile RMW each (~42ms/pass measured); one
+    # full-tile write at the end is free
+    path = jnp.full((E, T), -1, jnp.int32)
 
     for level in range(T):
         sel = ((node_iota == t[:, None]) & active[:, None]).astype(jnp.int32)
@@ -230,12 +234,14 @@ def _walk_kernel(
         h_t = (c_t < 0) | (t_child > 0)
         parents = jnp.where(active, t, parents)
         actions = jnp.where(active, a_t, actions)
-        out_ref[:, level : level + 1] = jnp.where(active, t, -1)[:, None]
+        lvl_lane = node_iota == level  # (E,T) one-hot on the level lane
+        path = jnp.where(lvl_lane & active[:, None], t[:, None], path)
         newly = active & h_t
         halt_child = jnp.where(newly, c_t, halt_child)
         active = active & ~h_t
         t = jnp.where(active, c_t, t)
 
+    out_ref[:, :T] = path
     out_ref[:, T : T + 1] = parents[:, None]
     out_ref[:, T + 1 : T + 2] = actions[:, None]
     out_ref[:, T + 2 : T + 3] = halt_child[:, None]

@@ -67,7 +67,9 @@ class MCTSConfig:
     # shard_map+pallas path without TPU hardware)
     use_pallas: object = None
     pallas_block_envs: int = 32  # descend blocks
-    pallas_backup: str = "dense"  # 'dense' (in-VMEM edge deltas) | 'delta' | 'xla'
+    # 'xla' (while-loop chase + one scatter, 6.3ms at 16k — fastest measured)
+    # | 'dense' (in-VMEM edge deltas, 32ms) | 'delta'
+    pallas_backup: str = "xla"
     pallas_backup_envs: int = 16  # backup blocks
     # the production descend = all-node Pallas solve/sample + XLA pointer
     # chase. None = auto (on on TPU), True/False force, 'interpret' = kernel
@@ -426,6 +428,38 @@ def _sample_children(tree, probs, rands):
     return actions, child
 
 
+def _sample_children_multi(tree, probs, rands):
+    """K samples per node from one solved probs (B,T,A) -> (acts (K,B,T),
+    child (K,B,T)). The prefix sum runs ONCE as a triangular matmul
+    (jnp.cumsum lowers to an 81-step serial slice loop, ~33ms/pass measured);
+    the K compare/argmax passes fuse. Matches `_sample`'s semantics to f32
+    matmul roundoff (multi-leaf mode only — the parity path keeps _sample)."""
+    K, B, T = rands.shape
+    A = probs.shape[-1]
+    if K == 1:  # keep K=1 bit-identical to the sequential path's _sample
+        a, c = _sample_children(tree, probs, rands[0])
+        return a[None], c[None]
+    hi = jax.lax.Precision.HIGHEST
+    incl = jnp.triu(jnp.ones((A, A), jnp.float32))  # incl[a,j]=1 for a<=j
+    cum = jnp.einsum("bta,aj->btj", probs, incl,
+                     preferred_element_type=jnp.float32, precision=hi)
+    pos = probs > 0
+    lane = jnp.arange(A)
+    last_pos = A - 1 - jnp.argmax(pos[:, :, ::-1], -1)  # (B,T)
+    children_f = tree.children.astype(jnp.float32)
+
+    acts, childs = [], []
+    for k in range(K):
+        ok = pos & (cum >= rands[k][:, :, None])
+        first_ok = jnp.argmax(ok, -1)
+        a_k = jnp.where(ok.any(-1), first_ok, last_pos).astype(jnp.int32)
+        onehot = jax.nn.one_hot(a_k, A, dtype=jnp.float32)
+        c_k = (children_f * onehot).sum(-1).astype(jnp.int32)
+        acts.append(a_k)
+        childs.append(c_k)
+    return jnp.stack(acts), jnp.stack(childs)
+
+
 def node_actions(tree, rands, q_bounds):
     """Solve pi_bar and sample an action for EVERY node of every env in one
     fully-vectorized pass -> (actions (B,T) int32, child (B,T) int32).
@@ -666,15 +700,17 @@ def _path_deltas(tree, path, acts, leaves, n_per_visit):
     a_path = jnp.einsum("blt,bt->bl", onehotP, acts.astype(f32),
                         preferred_element_type=f32).astype(jnp.int32)
 
-    # leaf->root value recursion on (B,S): pure elementwise chain, one kernel
+    # leaf->root values: INTERIOR path nodes are never terminal (the walk
+    # only descends into non-terminal children; a terminal child becomes the
+    # leaf), so the recursion "v = (terminal ? 0 : v) + rew" collapses to a
+    # suffix sum of rewards over the path plus the leaf's (zeroed-if-terminal)
+    # value — one reverse cumsum instead of a per-level loop (a Laug-way
+    # jnp.stack of lane-padded (B,S) tiles cost ~20ms/pass on chip).
     v = _take_node(tree.v, leaves).astype(f32)  # (B,S)
-    dw_path = [None] * Laug
-    for pos in reversed(range(Laug)):
-        m = active[:, pos][:, None]  # (B,1)
-        v_new = jnp.where(term_path[:, pos][:, None], 0.0, v) + rew_path[:, pos]
-        v = jnp.where(m, v_new, v)
-        dw_path[pos] = jnp.where(m, v, 0.0)
-    dw_path = jnp.stack(dw_path, axis=1)  # (B,Laug,S)
+    leaf_term = jnp.einsum("bl,bl->b", term_path.astype(f32), leaf_pos.astype(f32)) > 0.5
+    base = jnp.where(leaf_term[:, None], 0.0, v)  # (B,S)
+    suffix = _suffix_sum_levels(rew_path)  # (B,Laug,S)
+    dw_path = (suffix + base[:, None, :]) * active[:, :, None]  # (B,Laug,S)
     dn_path = active.astype(f32) * n_per_visit  # (B,Laug)
 
     # node deltas (value-carrying contractions run at HIGHEST precision)
@@ -731,21 +767,103 @@ def backup_path(tree, path, acts, leaves, n_per_visit):
     return _apply_path_deltas(tree, *_path_deltas(tree, path, acts, leaves, n_per_visit))
 
 
+def _suffix_sum_levels(x):
+    """Suffix (reverse-inclusive) sum along axis 1 via a triangular matmul —
+    jnp.cumsum lowers to a serial reduce-window on the TPU (11ms/pass
+    measured); an (L,L) ones-triangle contraction is one sub-ms MXU op.
+    Exact to f32 roundoff (precision=HIGHEST)."""
+    L = x.shape[1]
+    tri = jnp.tril(jnp.ones((L, L), jnp.float32))  # tri[l, j] = 1 for j <= l
+    # suffix[l] = sum_{j >= l} x[j] = sum_j tri[j, l] * x[j]
+    return jnp.einsum("bls,lj->bjs", x, tri, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def backup_paths(tree, paths, acts, leaves, n_per_visit):
     """Back up K recorded paths per env in one update (the multi-leaf pass of
     `simulate_multi`). paths (K,B,T), acts (K,B,T), leaves (K,B). Each path's
-    deltas come from the SAME pre-pass tree stats; they sum into one replace
+    deltas come from the SAME pre-pass tree stats and sum into one replace
     (shared ancestors accumulate all K visits, as K sequential backups
-    would). K is small and static: a Python loop keeps peak memory at one
-    path's one-hots while XLA still overlaps the K einsum chains."""
-    K = paths.shape[0]
-    dn = dw = d_ne = d_we = None
-    for k in range(K):
-        dk = _path_deltas(tree, paths[k], acts[k], leaves[k], n_per_visit)
-        if dn is None:
-            dn, dw, d_ne, d_we = dk
-        else:
-            dn, dw, d_ne, d_we = dn + dk[0], dw + dk[1], d_ne + dk[2], d_we + dk[3]
+    would).
+
+    TPU formulation: the K paths CONCATENATE along the level axis — every
+    lookup/delta einsum of `_path_deltas` runs once with L = K*(T+1) levels
+    instead of K times (a per-k Python loop cost 82ms/pass in small fusions;
+    the fused contractions are a handful of large MXU matmuls). The suffix
+    value recursion runs on the (K*B, Laug, S) fold so sums never cross a
+    path boundary.
+    """
+    K, B, T = paths.shape
+    S = tree.w.shape[-1]
+    A = tree.children.shape[-1]
+    Laug = T + 1
+    f32 = jnp.float32
+
+    # augment each path with its leaf at position depth(k,b)
+    depth = (paths >= 0).sum(-1)  # (K,B)
+    iota_l = jnp.arange(Laug)[None, None, :]
+    leaf_pos = iota_l == depth[:, :, None]  # (K,B,Laug)
+    path_aug = jnp.concatenate([paths, jnp.full((K, B, 1), -1, paths.dtype)], axis=-1)
+    path_aug = jnp.where(leaf_pos, leaves[:, :, None], path_aug)
+    active = path_aug >= 0  # (K,B,Laug)
+
+    # concatenated-level one-hots: ONE (B, K*Laug, T) tensor serves all K
+    def cat(x):  # (K,B,L,...) -> (B,K*L,...)
+        return jnp.moveaxis(x, 0, 1).reshape((B, K * x.shape[2]) + x.shape[3:])
+
+    aP = jax.nn.one_hot(jnp.clip(path_aug, 0), T, dtype=jnp.bfloat16) \
+        * active[:, :, :, None]  # (K,B,Laug,T)
+    onehotP = cat(aP)  # (B, K*Laug, T)
+
+    term_path = (
+        jnp.einsum("blt,bt->bl", onehotP, tree.terminal.astype(f32),
+                   preferred_element_type=f32) > 0.5
+    )  # (B, K*Laug)
+    rew_path = jnp.einsum("blt,bts->bls", onehotP, tree.rewards.astype(f32),
+                          preferred_element_type=f32)
+    seat_path = jnp.einsum("blt,bt->bl", onehotP, tree.seats.astype(f32),
+                           preferred_element_type=f32).astype(jnp.int32)
+    # the action at each path level = that level's node row of the per-k acts
+    a_lvl = jnp.einsum("kblt,kbt->kbl", aP, acts.astype(f32),
+                       preferred_element_type=f32).astype(jnp.int32)  # (K,B,Laug)
+
+    # leaf values, zeroed at terminal leaves; suffix-sum of rewards per path
+    v = jnp.einsum("kbt,bts->kbs", jax.nn.one_hot(leaves, T, dtype=jnp.bfloat16),
+                   tree.v.astype(f32), preferred_element_type=f32)  # (K,B,S)
+    term_kbl = jnp.moveaxis(term_path.reshape(B, K, Laug), 1, 0)  # (K,B,Laug)
+    leaf_term = (term_kbl & leaf_pos).any(-1)  # (K,B)
+    base = jnp.where(leaf_term[:, :, None], 0.0, v)  # (K,B,S)
+    rew_kbl = jnp.moveaxis(rew_path.reshape(B, K, Laug, S), 1, 0)  # (K,B,Laug,S)
+    suffix = _suffix_sum_levels(rew_kbl.reshape(K * B, Laug, S)).reshape(K, B, Laug, S)
+    dw_path = (suffix + base[:, :, None, :]) * active[..., None]  # (K,B,Laug,S)
+    dn_path = cat(active).astype(f32) * n_per_visit  # (B,K*Laug)
+
+    hi = jax.lax.Precision.HIGHEST
+    dn = jnp.einsum("bl,blt->bt", dn_path, onehotP, preferred_element_type=f32)
+    dw = jnp.einsum("bls,blt->bts", cat(dw_path), onehotP,
+                    preferred_element_type=f32, precision=hi)
+
+    # edge deltas over parent positions: drop each path's last level (leaf),
+    # child coefficients come from level l+1
+    onehotP_par = cat(aP[:, :, :T, :])  # (B,K*T,T)
+    child_active = active[:, :, 1:]  # (K,B,T)
+    onehotA = (
+        jax.nn.one_hot(jnp.clip(cat(a_lvl[:, :, :T]), 0), A, dtype=jnp.bfloat16)
+        * cat(child_active)[:, :, None]
+    )  # (B,K*T,A)
+    seat_oh = jax.nn.one_hot(
+        jnp.clip(jnp.moveaxis(seat_path.reshape(B, K, Laug), 1, 0)[:, :, :T], 0, S - 1),
+        S, dtype=f32)  # (K,B,T,S)
+    we_coef = (dw_path[:, :, 1:, :] * seat_oh).sum(-1)  # (K,B,T)
+    ne_coef = child_active.astype(f32) * n_per_visit  # (K,B,T)
+
+    d_ne = jnp.einsum("blt,bla->bta", onehotP_par,
+                      onehotA * cat(ne_coef)[..., None].astype(jnp.bfloat16),
+                      preferred_element_type=f32)
+    d_we = jnp.einsum("blt,bla->bta", onehotP_par,
+                      onehotA.astype(f32) * cat(we_coef)[..., None],
+                      preferred_element_type=f32, precision=hi)
+
     return _apply_path_deltas(tree, dn, dw, d_ne, d_we)
 
 
@@ -856,21 +974,17 @@ def simulate_multi(tree, eval_fn, key, cfg: MCTSConfig):
     k_rand, k_eval = jax.random.split(key)
     rands = jax.random.uniform(k_rand, (K, B, T))
 
-    probs = node_probs(tree, _q_bounds(tree))  # one solve for all K
-    acts = []
-    nxts = []
-    for k in range(K):
-        a_k, c_k = _sample_children(tree, probs, rands[k])
-        acts.append(a_k)
-        nxts.append(c_k)
-    acts = jnp.stack(acts)  # (K,B,T)
-    nxts = jnp.stack(nxts)
+    with jax.named_scope("solve"):
+        probs = node_probs(tree, _q_bounds(tree))  # one solve for all K
+    with jax.named_scope("sample"):
+        acts, nxts = _sample_children_multi(tree, probs, rands)  # (K,B,T) x2
 
     # K pointer chases, folded into the batch axis
-    term_flat = jnp.broadcast_to(tree.terminal[None], (K, B, T)).reshape(K * B, T)
-    p_f, a_f, h_f, path_f = _walk_flat(
-        term_flat, acts.reshape(K * B, T), nxts.reshape(K * B, T), cfg
-    )
+    with jax.named_scope("walk"):
+        term_flat = jnp.broadcast_to(tree.terminal[None], (K, B, T)).reshape(K * B, T)
+        p_f, a_f, h_f, path_f = _walk_flat(
+            term_flat, acts.reshape(K * B, T), nxts.reshape(K * B, T), cfg
+        )
     parents = p_f.reshape(K, B)
     actions = a_f.reshape(K, B)
     halt_child = h_f.reshape(K, B)
@@ -912,10 +1026,13 @@ def simulate_multi(tree, eval_fn, key, cfg: MCTSConfig):
         out = jnp.einsum("kbt,btf->kbf", ohP, flat, preferred_element_type=f32)
         return out.reshape((K, B) + full.shape[2:]).astype(full.dtype)
 
-    old_worlds = jax.tree.map(gather_rows, tree.worlds)
-    old_flat = jax.tree.map(lambda x: x.reshape((K * B,) + x.shape[2:]), old_worlds)
-    world_flat, transition = old_flat.step(actions.reshape(K * B))
-    decisions = eval_fn(world_flat, k_eval)
+    with jax.named_scope("gather"):
+        old_worlds = jax.tree.map(gather_rows, tree.worlds)
+        old_flat = jax.tree.map(lambda x: x.reshape((K * B,) + x.shape[2:]), old_worlds)
+    with jax.named_scope("envstep"):
+        world_flat, transition = old_flat.step(actions.reshape(K * B))
+    with jax.named_scope("eval"):
+        decisions = eval_fn(world_flat, k_eval)
 
     row_mask = jnp.einsum("kbt->bt", ohL) > 0.5  # (B,T)
 
@@ -928,23 +1045,25 @@ def simulate_multi(tree, eval_fn, key, cfg: MCTSConfig):
         return jnp.where(mask, val.astype(full.dtype), full)
 
     unflat = lambda x: x.reshape((K, B) + x.shape[1:])
-    tree = tree.replace(
-        children=children,
-        parents=set_rows(tree.parents, jnp.broadcast_to(parents, (K, B))),
-        relation=set_rows(tree.relation, actions),
-        worlds=jax.tree.map(
-            lambda full, new: set_rows(full, unflat(new)), tree.worlds, world_flat
-        ),
-        seats=set_rows(tree.seats, unflat(world_flat.seats.astype(jnp.int32))),
-        terminal=set_rows(tree.terminal, unflat(transition.terminal)),
-        rewards=set_rows(tree.rewards, unflat(transition.rewards)),
-        logits=set_rows(tree.logits, unflat(_clamp_logits(decisions["logits"]))),
-        v=set_rows(tree.v, unflat(decisions["v"])),
-        sim=tree.sim + K,
-    )
+    with jax.named_scope("writes"):
+        tree = tree.replace(
+            children=children,
+            parents=set_rows(tree.parents, jnp.broadcast_to(parents, (K, B))),
+            relation=set_rows(tree.relation, actions),
+            worlds=jax.tree.map(
+                lambda full, new: set_rows(full, unflat(new)), tree.worlds, world_flat
+            ),
+            seats=set_rows(tree.seats, unflat(world_flat.seats.astype(jnp.int32))),
+            terminal=set_rows(tree.terminal, unflat(transition.terminal)),
+            rewards=set_rows(tree.rewards, unflat(transition.rewards)),
+            logits=set_rows(tree.logits, unflat(_clamp_logits(decisions["logits"]))),
+            v=set_rows(tree.v, unflat(decisions["v"])),
+            sim=tree.sim + K,
+        )
 
     n_per_visit = tree.w.shape[-1] if cfg.backup_n == "seats" else 1
-    return backup_paths(tree, paths, acts, leaves, n_per_visit)
+    with jax.named_scope("backup"):
+        return backup_paths(tree, paths, acts, leaves, n_per_visit)
 
 
 def root(tree):
