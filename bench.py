@@ -58,6 +58,11 @@ def bench_mcts(n_envs, boardsize, width, depth, n_nodes, reps=3):
     cfg = TrainConfig(
         boardsize=boardsize, width=width, depth=depth, n_nodes=n_nodes,
         dtype="bfloat16", tree_dtype="bfloat16",
+        # batched multi-leaf search: 8 leaves per solve+eval pass — the
+        # fastest measured chip config (scripts/trace_multi.py: ~123ms per
+        # pass at 16k envs = ~1.04M sims/s vs 258k for the sequential walk)
+        leaves_per_pass=8 if n_nodes > 16 else 1,
+        use_pallas=False if n_nodes > 16 else None,
     )
     model = build_model(cfg)
     world = hex.Hex.initial(n_envs, boardsize)
@@ -107,7 +112,13 @@ def main():
                 "metric": "env_steps_per_s_9x9_per_chip",
                 "value": round(env_rate, 1),
                 "unit": "env-steps/s",
+                # single-chip fraction of the driver's 10M/s multi-host
+                # AGGREGATE target (BASELINE.md) — multiply by chips x
+                # scaling efficiency (output/scaling_efficiency.json) for
+                # the aggregate estimate
                 "vs_baseline": round(env_rate / 10e6, 4),
+                "baseline": "10M env-steps/s multi-host aggregate; this run is 1 chip",
+                "n_chips": 1,
                 "mcts_sims_per_s": round(sims_rate, 1),
                 "mcts_sample_per_s": round(sample_rate, 1),
                 "n_envs": env_envs,

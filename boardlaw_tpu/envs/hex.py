@@ -313,6 +313,10 @@ class Random(Solitaire):
     """Opponent plays a uniform random valid action (hex/__init__.py:265-271)."""
 
     def _play(self, world, key):
+        if key is None:
+            raise TypeError(
+                "Random.step needs a PRNG key: world.step(actions, key=k)"
+            )
         logits = jnp.where(world.valid, 0.0, -jnp.inf)
         actions = jax.random.categorical(key, logits, axis=-1)
         return Hex.step(world, actions)
