@@ -213,18 +213,22 @@ def _walk_kernel(
     NXT = nxt_ref[:, :]
     TERM = term_ref[:, :]  # i32 0/1
 
-    t = jnp.zeros((E,), jnp.int32)
-    active = rootterm_ref[:, 0] < 1
-    parents = jnp.zeros((E,), jnp.int32)
-    actions = jnp.full((E,), -1, jnp.int32)
-    halt_child = jnp.full((E,), -1, jnp.int32)
-    # the path accumulates in a VMEM-register (E,T) matrix — per-level
-    # single-lane stores cost a tile RMW each (~42ms/pass measured); one
-    # full-tile write at the end is free
-    path = jnp.full((E, T), -1, jnp.int32)
+    # EARLY-EXIT while loop over levels: a T-unrolled chase costs T x ~8
+    # (E,T) VPU ops even though the deepest live walk in a 64-node tree is
+    # usually <10 levels; looping `while any(active)` does only the work the
+    # deepest walk in the block needs. Iterations past all-halt are no-ops
+    # in the unrolled form, so the exit is bit-exact. Masks ride as i32
+    # (Mosaic while-carries want 32-bit vectors); the path accumulates in a
+    # VMEM-register (E,T) matrix — per-level single-lane stores cost a tile
+    # RMW each (~42ms/pass measured); one full-tile write at the end is free.
+    def cond(carry):
+        level, t, active, parents, actions, halt_child, path = carry
+        return (jnp.max(active) > 0) & (level < T)
 
-    for level in range(T):
-        sel = ((node_iota == t[:, None]) & active[:, None]).astype(jnp.int32)
+    def body(carry):
+        level, t, active, parents, actions, halt_child, path = carry
+        act_b = active > 0
+        sel = ((node_iota == t[:, None]) & act_b[:, None]).astype(jnp.int32)
         a_t = (ACTS * sel).sum(-1)
         c_t = (NXT * sel).sum(-1)
         # halt AT node t: child unexpanded (-1) or terminal — the child
@@ -232,14 +236,29 @@ def _walk_kernel(
         sel_c = (node_iota == c_t[:, None]).astype(jnp.int32)
         t_child = (TERM * sel_c).sum(-1)
         h_t = (c_t < 0) | (t_child > 0)
-        parents = jnp.where(active, t, parents)
-        actions = jnp.where(active, a_t, actions)
+        parents = jnp.where(act_b, t, parents)
+        actions = jnp.where(act_b, a_t, actions)
         lvl_lane = node_iota == level  # (E,T) one-hot on the level lane
-        path = jnp.where(lvl_lane & active[:, None], t[:, None], path)
-        newly = active & h_t
+        path = jnp.where(lvl_lane & act_b[:, None], t[:, None], path)
+        newly = act_b & h_t
         halt_child = jnp.where(newly, c_t, halt_child)
-        active = active & ~h_t
-        t = jnp.where(active, c_t, t)
+        act_b = act_b & ~h_t
+        t = jnp.where(act_b, c_t, t)
+        return (level + 1, t, act_b.astype(jnp.int32), parents, actions,
+                halt_child, path)
+
+    carry = (
+        jnp.int32(0),
+        jnp.zeros((E,), jnp.int32),
+        (rootterm_ref[:, 0] < 1).astype(jnp.int32),
+        jnp.zeros((E,), jnp.int32),
+        jnp.full((E,), -1, jnp.int32),
+        jnp.full((E,), -1, jnp.int32),
+        jnp.full((E, T), -1, jnp.int32),
+    )
+    _, _, _, parents, actions, halt_child, path = jax.lax.while_loop(
+        cond, body, carry
+    )
 
     out_ref[:, :T] = path
     out_ref[:, T : T + 1] = parents[:, None]
