@@ -42,12 +42,14 @@ state = warmup(state, chunk=8)
 state, aux = train_step(state)  # compile
 jax.block_until_ready(aux['loss.total'])
 times = []
-for _ in range(5):
+for _ in range(20):
     t0 = time.perf_counter()
     state, aux = train_step(state)
     jax.block_until_ready(aux['loss.total'])
     times.append(time.perf_counter() - t0)
-print(json.dumps({"n": n, "t": min(times), "loss": float(aux['loss.total'])}))
+times.sort()
+print(json.dumps({"n": n, "t": times[len(times) // 4],
+                  "loss": float(aux['loss.total'])}))
 """
 
 

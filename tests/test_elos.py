@@ -133,3 +133,39 @@ def test_suggest():
     soln = solvers.Solution(None, None, None, None, mud, sigmad)
     row, col = activelo.suggest(soln)
     assert col == "b"
+
+
+# -- examples: synthetic tournaments + active matchmaking -------------------
+
+def test_examples_generated_recovers_truth():
+    from boardlaw_tpu.activelo import examples
+
+    truth, soln = examples.generated_example(n_agents=8, games_scale=80, seed=3)
+    mu = np.asarray(soln.mu)
+    # centered ratings should correlate strongly with the planted truth
+    t = truth - truth.mean()
+    m = mu - mu.mean()
+    corr = (t * m).sum() / np.sqrt((t**2).sum() * (m**2).sum())
+    assert corr > 0.9
+
+
+def test_examples_active_matchmaking_converges():
+    from boardlaw_tpu.activelo import examples
+
+    truth, trace = examples.simulate_log_ranks(
+        n_agents=6, n_games=128, sigresid_tol=0.25, max_rounds=40, seed=1
+    )
+    assert trace[-1]["sigresid"] < 0.25
+    # uncertainty must shrink as games accumulate
+    assert trace[-1]["sigresid"] < trace[0]["sigresid"]
+    # and the final ranks track the planted ladder
+    assert trace[-1]["resid_var"] < 0.2
+
+
+def test_examples_warmstart_stable():
+    from boardlaw_tpu.activelo import examples
+
+    sigmas = examples.reuse_example(n_agents=6, seed=0, repeats=4)
+    assert np.all(np.isfinite(sigmas))
+    # warm-started re-solves of the same data shouldn't drift
+    assert np.ptp(sigmas) < 0.05 * sigmas.mean() + 1e-3
