@@ -181,3 +181,142 @@ def modelled_elos(ags):
     params = fit_model(df)
     df["elohat"] = apply_model(params, df)
     return df, params
+
+
+def with_times(ags):
+    """Augment agents with each run's sample rate and the implied training
+    time per snapshot (reference analysis/data.py:47-57, from the
+    count.samples cumsum channel)."""
+    from ..pavlov import stats
+
+    rates = {}
+    for r in ags.run.unique():
+        try:
+            arr = stats.pandas(r, "count.samples")
+        except Exception:
+            continue
+        if arr.empty or len(arr) < 2:
+            continue
+        dt = (arr.index[-1] - arr.index[0]).total_seconds()
+        if dt > 0:
+            rates[r] = (arr.total.sum() - arr.total.iloc[0]) / dt
+    rates = pd.Series(rates, name="sample_rate", dtype=float)
+    rates.index = rates.index.astype(str)
+    aug = pd.merge(ags.assign(run=ags.run.astype(str)), rates,
+                   left_on="run", right_index=True)
+    aug["train_time"] = aug.samples / aug.sample_rate
+    return aug
+
+
+def residual_vars(ags):
+    """How well frontiers fitted on boards <= b predict the frontiers of
+    larger boards (reference analysis/data.py:147-170): the transfer error
+    behind the paper's extrapolation claim."""
+    frames = []
+    for b, g in ags.groupby("boardsize"):
+        f = interp_frontier(g, "train_flops").reset_index()
+        f.insert(0, "boardsize", b)
+        frames.append(f)
+    df = pd.concat(frames, ignore_index=True).dropna(subset=["elo"])
+
+    boards = sorted(df.boardsize.unique())
+    rows = []
+    for b in boards[:-1]:
+        params = fit_model(df[df.boardsize <= b])
+        pred = apply_model(params, df[df.boardsize >= b])
+        sub = df.loc[pred.index]
+        num = (pred - sub.elo).pow(2).groupby(sub.boardsize).mean()
+        den = sub.elo.pow(2).groupby(sub.boardsize).mean()
+        rv = num / den
+        for seen_b, v in rv.items():
+            rows.append({"predicted": b, "seen": seen_b, "rv": float(v)})
+    return pd.DataFrame(rows)
+
+
+def train_test(ags):
+    """Train-compute vs test-compute iso-Elo frontiers (reference
+    analysis/data.py:172-187): for each Elo level, the cheapest
+    (train_flops, test_flops) pairs that reach it."""
+    df = ags.copy()
+    df = df[df.samples > 0]
+    df["test_flops"] = df.test_nodes * (df.train_flops / df.samples)
+    df["train_flops_group"] = 10 ** np.log10(df.train_flops).round(1)
+
+    frontiers = {}
+    for e in np.linspace(-1500, 0, 7):
+        sub = df[ELO * df.elo > e]
+        if len(sub) == 0:
+            continue
+        fr = sub.groupby("train_flops_group").test_flops.min().expanding().min()
+        frontiers[e] = fr
+    if not frontiers:
+        return pd.DataFrame(columns=["train_flops", "elo", "test_flops"])
+    frontiers = pd.concat(frontiers).unstack().T
+    frontiers = 10 ** np.log10(frontiers).round(1)
+    # drop the flat tail where the frontier has stopped improving
+    frontiers = frontiers.where(frontiers.eq(frontiers.iloc[-1], axis=1).cumsum().le(1))
+    out = frontiers.stack().reset_index()
+    out.columns = ["train_flops", "elo", "test_flops"]
+    return out.sort_values("train_flops")
+
+
+def train_test_model(frontiers):
+    """log10(test) ~ log10(train) + elo linear fit (reference
+    analysis/data.py:189-193) via plain least squares."""
+    f = frontiers.dropna().copy()
+    X = np.stack(
+        [np.ones(len(f)), np.log10(f.train_flops.values), f.elo.values], axis=1
+    )
+    y = np.log10(f.test_flops.values)
+    coef, *_ = np.linalg.lstsq(X, y, rcond=None)
+    f["test_flops_hat"] = 10 ** (X @ coef)
+    return f, pd.Series(coef, index=["intercept", "log10_train", "elo"])
+
+
+def sample_calibrations(pseudocount=1):
+    """Beta-posterior bands on the best agents' winrate vs MoHex per
+    boardsize (reference analysis/data.py:195-207)."""
+    import scipy.stats
+
+    trials = sql.mohex_trial_query()
+    ags = sql.agent_query()
+    empty = pd.DataFrame(
+        columns=["boardsize", "wins", "games", "winrate", "lower", "mid", "upper"]
+    )
+    if len(trials) == 0 or len(ags) == 0:
+        return empty
+    rows = []
+    for aid in set(trials.black_agent.dropna()) | set(trials.white_agent.dropna()):
+        if aid not in ags.index:
+            continue
+        as_black = trials[trials.black_agent == aid]
+        as_white = trials[trials.white_agent == aid]
+        wins = as_black.black_wins.sum() + as_white.white_wins.sum()
+        games = (
+            as_black[["black_wins", "white_wins"]].to_numpy().sum()
+            + as_white[["black_wins", "white_wins"]].to_numpy().sum()
+        )
+        rows.append(
+            {
+                "boardsize": int(ags.loc[aid].boardsize),
+                "wins": float(wins),
+                "games": float(games),
+            }
+        )
+    if not rows:
+        return empty
+    best = (
+        pd.DataFrame(rows)
+        .assign(winrate=lambda df: df.wins / df.games.clip(lower=1))
+        .sort_values("winrate")
+        .groupby("boardsize")
+        .last()
+        .reset_index()
+    )
+    dist = scipy.stats.beta(
+        best.wins + pseudocount, best.games - best.wins + pseudocount
+    )
+    best["lower"] = dist.ppf(0.1)
+    best["mid"] = dist.ppf(0.5)
+    best["upper"] = dist.ppf(0.9)
+    return best

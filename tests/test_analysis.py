@@ -56,3 +56,68 @@ def test_encoder_save(tmp_path):
         enc(np.zeros((32, 32, 3), np.uint8))
     out = enc.save(tmp_path / "demo.mp4")
     assert out.exists()
+
+
+# -- paper figures / analysis dataframes on synthetic agents ----------------
+
+def _synthetic_ags(n_runs=4, n_snaps=6, seed=0):
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    aid = 0
+    for r in range(n_runs):
+        width, depth = 2 ** (4 + r), 2
+        for s in range(n_snaps):
+            flops = 10.0 ** (9 + r + 0.5 * s)
+            rows.append(
+                {
+                    "run": f"run-{r}",
+                    "idx": s,
+                    "boardsize": 5 if r < 2 else 7,
+                    "width": width,
+                    "depth": depth,
+                    "samples": 1e4 * (s + 1),
+                    "train_flops": flops,
+                    "test_nodes": 64,
+                    "elo": -2.0 + 0.25 * (r + s) + rng.normal(0, 0.01),
+                }
+            )
+            aid += 1
+    return pd.DataFrame(rows, index=range(aid))
+
+
+def test_train_test_frontier_and_model():
+    from boardlaw_tpu.scaling import data
+
+    ags = _synthetic_ags()
+    tt = data.train_test(ags)
+    assert {"train_flops", "elo", "test_flops"} <= set(tt.columns)
+    f, coef = data.train_test_model(tt)
+    assert np.isfinite(coef).all()
+    assert "test_flops_hat" in f
+
+
+def test_residual_vars_positive():
+    from boardlaw_tpu.scaling import data
+
+    rv = data.residual_vars(_synthetic_ags())
+    assert len(rv) >= 1
+    assert (rv.rv >= 0).all()
+
+
+def test_paper_figures_render():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from boardlaw_tpu.scaling import paper
+
+    ags = _synthetic_ags()
+    for fn in (paper.flops_curves, paper.frontiers, paper.train_test,
+               paper.residual_vars, paper.optimal_model_size):
+        fig = fn(ags)
+        assert fig is not None
+    fig = paper.hex_board(boardsize=5, n_moves=6)
+    assert fig is not None
+    assert len(paper.hyperparams_table()) == 7
+    assert len(paper.boardsize_hyperparams_table(ags)) == 2
