@@ -781,22 +781,28 @@ def _suffix_sum_levels(x):
 
 def backup_paths(tree, paths, acts, leaves, n_per_visit):
     """Back up K recorded paths per env in one update (the multi-leaf pass of
-    `simulate_multi`). paths (K,B,T), acts (K,B,T), leaves (K,B). Each path's
+    `simulate_multi`). paths (K,B,L), acts (K,B,T), leaves (K,B). Each path's
     deltas come from the SAME pre-pass tree stats and sum into one replace
     (shared ancestors accumulate all K visits, as K sequential backups
     would).
 
     TPU formulation: the K paths CONCATENATE along the level axis — every
-    lookup/delta einsum of `_path_deltas` runs once with L = K*(T+1) levels
+    lookup/delta einsum of `_path_deltas` runs once with K*(L+1) levels
     instead of K times (a per-k Python loop cost 82ms/pass in small fusions;
     the fused contractions are a handful of large MXU matmuls). The suffix
     value recursion runs on the (K*B, Laug, S) fold so sums never cross a
     path boundary.
+
+    L may be far smaller than T: tree depth grows at most 1 per pass (all K
+    walks see the same pre-pass tree), so `simulate_multi` truncates the
+    walk's (B,T) path record to n_passes+1 levels — the backup one-hots and
+    delta contractions shrink by T/L (~6x for the 64-node K=8 config).
     """
-    K, B, T = paths.shape
+    K, B, L = paths.shape
     S = tree.w.shape[-1]
     A = tree.children.shape[-1]
-    Laug = T + 1
+    T = tree.terminal.shape[-1]
+    Laug = L + 1
     f32 = jnp.float32
 
     # augment each path with its leaf at position depth(k,b)
@@ -845,17 +851,17 @@ def backup_paths(tree, paths, acts, leaves, n_per_visit):
 
     # edge deltas over parent positions: drop each path's last level (leaf),
     # child coefficients come from level l+1
-    onehotP_par = cat(aP[:, :, :T, :])  # (B,K*T,T)
-    child_active = active[:, :, 1:]  # (K,B,T)
+    onehotP_par = cat(aP[:, :, :L, :])  # (B,K*L,T)
+    child_active = active[:, :, 1:]  # (K,B,L)
     onehotA = (
-        jax.nn.one_hot(jnp.clip(cat(a_lvl[:, :, :T]), 0), A, dtype=jnp.bfloat16)
+        jax.nn.one_hot(jnp.clip(cat(a_lvl[:, :, :L]), 0), A, dtype=jnp.bfloat16)
         * cat(child_active)[:, :, None]
-    )  # (B,K*T,A)
+    )  # (B,K*L,A)
     seat_oh = jax.nn.one_hot(
-        jnp.clip(jnp.moveaxis(seat_path.reshape(B, K, Laug), 1, 0)[:, :, :T], 0, S - 1),
-        S, dtype=f32)  # (K,B,T,S)
-    we_coef = (dw_path[:, :, 1:, :] * seat_oh).sum(-1)  # (K,B,T)
-    ne_coef = child_active.astype(f32) * n_per_visit  # (K,B,T)
+        jnp.clip(jnp.moveaxis(seat_path.reshape(B, K, Laug), 1, 0)[:, :, :L], 0, S - 1),
+        S, dtype=f32)  # (K,B,L,S)
+    we_coef = (dw_path[:, :, 1:, :] * seat_oh).sum(-1)  # (K,B,L)
+    ne_coef = child_active.astype(f32) * n_per_visit  # (K,B,L)
 
     d_ne = jnp.einsum("blt,bla->bta", onehotP_par,
                       onehotA * cat(ne_coef)[..., None].astype(jnp.bfloat16),
@@ -1062,8 +1068,13 @@ def simulate_multi(tree, eval_fn, key, cfg: MCTSConfig):
         )
 
     n_per_visit = tree.w.shape[-1] if cfg.backup_n == "seats" else 1
+    # tree depth grows <=1 per pass, so over mcts()'s n_passes calls no walk
+    # is ever longer than n_passes (+1 margin) — truncating the path record
+    # shrinks every backup contraction's level axis by ~T/L
+    n_passes = -(-(cfg.n_nodes - 1) // K)
+    L_cap = min(T, n_passes + 1)
     with jax.named_scope("backup"):
-        return backup_paths(tree, paths, acts, leaves, n_per_visit)
+        return backup_paths(tree, paths[:, :, :L_cap], acts, leaves, n_per_visit)
 
 
 def root(tree):
