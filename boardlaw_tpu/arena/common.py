@@ -30,8 +30,14 @@ log = getLogger(__name__)
 
 
 def agent(run, idx=None, **kwargs):
-    """Rebuild an MCTSAgent from a run's pickled model config plus its latest
-    (or numbered) snapshot (reference arena/common.py:14-34)."""
+    """Rebuild an agent from a run's pickled model config plus its latest
+    (or numbered) snapshot (reference arena/common.py:14-34).
+
+    Compile-sharing note: params ride as a TRACED argument of one jitted
+    search program per (architecture, search-config) — a league of N
+    snapshots of the same net compiles the search ONCE, not N times (a
+    closed-over params pytree bakes into the HLO as constants, and on this
+    stack every distinct compile goes through a slow remote hook)."""
     run = runs.resolve(run)
     try:
         spec = pstorage.load_raw(run, "model")
@@ -40,7 +46,6 @@ def agent(run, idx=None, **kwargs):
         return None
 
     cfg = TrainConfig(**spec["cfg"])
-    model = _build_model(cfg)
 
     try:
         sd = pstorage.load_latest(run) if idx is None else pstorage.load_snapshot(run, idx)
@@ -50,15 +55,47 @@ def agent(run, idx=None, **kwargs):
 
     params = jax.tree.map(jnp.asarray, sd["agent"]["params"])
 
-    def eval_fn(world, key=None):
-        return model.apply(params, world.obs, world.valid, world.seats)
-
     search = {
         "n_nodes": int(sd["agent"]["kwargs"].get("n_nodes", cfg.n_nodes)),
         "c_puct": float(sd["agent"]["kwargs"].get("c_puct", cfg.c_puct)),
     }
     search.update(kwargs)
-    return MCTSAgent(eval_fn, **search)
+    return SharedParamsAgent(cfg, params, search)
+
+
+_SEARCHERS = {}
+
+
+def _shared_searcher(arch_key, cfg, search):
+    """One jitted (params, world, key, eval) search program per architecture
+    and search config, cached across agent instances."""
+    if arch_key not in _SEARCHERS:
+        model = _build_model(cfg)
+
+        def call(params, world, key, eval):
+            def eval_fn(w, k=None):
+                return model.apply(params, w.obs, w.valid, w.seats)
+
+            return MCTSAgent(eval_fn, **search)(world, key, eval=eval)
+
+        _SEARCHERS[arch_key] = jax.jit(call, static_argnums=3)
+    return _SEARCHERS[arch_key]
+
+
+class SharedParamsAgent:
+    """Agent-protocol wrapper holding its own params while sharing the
+    compiled search program with every same-architecture agent."""
+
+    def __init__(self, cfg, params, search):
+        arch_key = (
+            cfg.boardsize, cfg.width, cfg.depth, str(cfg.dtype),
+            tuple(sorted(search.items())),
+        )
+        self.params = params
+        self._fn = _shared_searcher(arch_key, cfg, search)
+
+    def __call__(self, world, key, eval=False):
+        return self._fn(self.params, world, key, eval)
 
 
 def sql_agent(agent_id, **kwargs):
