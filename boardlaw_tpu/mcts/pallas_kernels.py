@@ -192,6 +192,123 @@ def node_actions(tree, rands, q_bounds, block_envs=16, interpret=False, mesh=Non
     )
 
 
+def _node_actions_multi_kernel(
+    logits_ref, ne_ref, we_ref, ch_ref, rands_ref, cp_ref, qb_ref,
+    actions_ref, child_ref, *, E, K, T, A, n_actions,
+):
+    """`_node_actions_kernel` with K rand sets sharing ONE VMEM-resident
+    Newton solve — the kernel for the multi-leaf search's solve+sample stage
+    (the XLA pair costs ~24ms/pass at 16k envs re-streaming the (B,T,A)
+    intermediates through HBM; everything here stays in VMEM)."""
+    qlo = qb_ref[0, 0]
+    qhi = qb_ref[0, 1]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (E, T, A), 2)
+    valid_lane = lane < n_actions
+    cp = cp_ref[:, 0:1][:, :, None]  # (E,1,1)
+
+    logits = logits_ref[:, :, :]
+    ne = ne_ref[:, :, :]
+    we = we_ref[:, :, :]
+
+    pi = jnp.where(valid_lane, jnp.exp(logits), 0.0)
+    expanded = ne > 0
+    q = jnp.where(expanded, (we / (ne + 1e-4) - qlo) / (qhi - qlo + 1e-4), 0.0)
+    counts = jnp.where(expanded, ne, jnp.where(valid_lane, 1.0, 0.0))
+    N = counts.sum(-1, keepdims=True)
+    lam = cp * N / (N + n_actions)
+
+    lampi = lam * pi
+    gap = jnp.maximum(lampi, 1e-4)
+    alpha = jnp.max(q + gap, axis=-1, keepdims=True)
+    floor = jnp.max(q, axis=-1, keepdims=True) + 1e-6
+    done = jnp.zeros_like(alpha, dtype=jnp.bool_)
+    for _ in range(16):
+        r = 1.0 / (alpha - q)
+        terms = lampi * r
+        s = terms.sum(-1, keepdims=True)
+        g = -(terms * r).sum(-1, keepdims=True)
+        err = s - 1.0
+        done = done | (err < 1e-3)
+        alpha = jnp.maximum(alpha - jnp.where(done, 0.0, err / g), floor)
+    probs = lampi / (alpha - q)
+
+    # ONE log-shift prefix sum; K compare/select passes (same dataflow as
+    # search._sample_children_multi, so the paths sample bit-equally)
+    cum = probs
+    shift = 1
+    while shift < A:
+        cum = cum + jnp.pad(cum, ((0, 0), (0, 0), (shift, 0)))[:, :, :A]
+        shift *= 2
+    pos = probs > 0
+    BIG = jnp.int32(A + 1)
+    last_pos = jnp.max(jnp.where(pos, lane, -1), axis=-1)  # (E,T)
+    CH = ch_ref[:, :, :]
+
+    for k in range(K):
+        rand = rands_ref[:, k, :][:, :, None]  # (E,T,1)
+        ok = pos & (cum >= rand)
+        first_ok = jnp.min(jnp.where(ok, lane, BIG), axis=-1)
+        a_k = jnp.where(first_ok < BIG, first_ok, last_pos).astype(jnp.int32)
+        onehot = (lane == a_k[:, :, None]).astype(jnp.float32)
+        c_k = (CH * onehot).sum(-1).astype(jnp.int32)
+        actions_ref[:, k, :] = a_k
+        child_ref[:, k, :] = c_k
+
+
+def node_actions_multi(tree, rands, q_bounds, block_envs=16, interpret=False,
+                       mesh=None, mesh_axis="dp"):
+    """Pallas twin of search's node_probs + _sample_children_multi:
+    rands (B,K,T) -> (actions (B,K,T) int32, child (B,K,T) int32)."""
+    B, T, A = tree.children.shape
+    K = rands.shape[1]
+    E = block_envs
+    shards = mesh.shape[mesh_axis] if mesh is not None else 1
+    assert (B // shards) % E == 0, (
+        f"per-shard envs {B}//{shards} must be divisible by block_envs {E}"
+    )
+    qb = jnp.stack([q_bounds[0], q_bounds[1]]).reshape(1, 2)
+
+    def inner(logits, ne, we, ch, rands, cp, qb):
+        Bl = logits.shape[0]
+        grid = (Bl // E,)
+        row_spec = pl.BlockSpec((E, T, A), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        k_spec = pl.BlockSpec((E, K, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        kernel = functools.partial(
+            _node_actions_multi_kernel, E=E, K=K, T=T, A=A, n_actions=A
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                row_spec,  # logits
+                row_spec,  # n_edge
+                row_spec,  # w_edge
+                row_spec,  # children (as f32)
+                k_spec,  # rands
+                pl.BlockSpec((E, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_specs=[k_spec, k_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((Bl, K, T), jnp.int32),
+                jax.ShapeDtypeStruct((Bl, K, T), jnp.int32),
+            ],
+            interpret=interpret,
+        )(logits, ne, we, ch, rands, cp, qb)
+
+    inner = _shardwrap(inner, mesh, mesh_axis, n_batch_args=6, n_rep_args=1, n_outs=2)
+    return inner(
+        tree.logits.astype(jnp.float32),
+        tree.n_edge.astype(jnp.float32),
+        tree.w_edge.astype(jnp.float32),
+        tree.children.astype(jnp.float32),
+        rands.astype(jnp.float32),
+        tree.c_puct.astype(jnp.float32)[:, None],
+        qb.astype(jnp.float32),
+    )
+
+
 def _walk_kernel(
     acts_ref, nxt_ref, term_ref, rootterm_ref, out_ref, *, E, T,
 ):

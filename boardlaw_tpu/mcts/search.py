@@ -430,19 +430,23 @@ def _sample_children(tree, probs, rands):
 
 def _sample_children_multi(tree, probs, rands):
     """K samples per node from one solved probs (B,T,A) -> (acts (K,B,T),
-    child (K,B,T)). The prefix sum runs ONCE as a triangular matmul
-    (jnp.cumsum lowers to an 81-step serial slice loop, ~33ms/pass measured);
-    the K compare/argmax passes fuse. Matches `_sample`'s semantics to f32
-    matmul roundoff (multi-leaf mode only — the parity path keeps _sample)."""
+    child (K,B,T)). The prefix sum runs ONCE as a log-shift (Hillis-Steele)
+    scan — log2(A) shifted adds; jnp.cumsum lowers to an 81-step serial slice
+    loop (~33ms/pass measured) and a triangular f32 matmul costs an extra
+    (B,T,A)x(A,A) contraction. The log-shift dataflow is IDENTICAL to the
+    Pallas node_actions kernels', so the two paths sample bit-equally.
+    The K compare/argmax passes fuse. (Multi-leaf mode only — the K=1 parity
+    path keeps `_sample`.)"""
     K, B, T = rands.shape
     A = probs.shape[-1]
     if K == 1:  # keep K=1 bit-identical to the sequential path's _sample
         a, c = _sample_children(tree, probs, rands[0])
         return a[None], c[None]
-    hi = jax.lax.Precision.HIGHEST
-    incl = jnp.triu(jnp.ones((A, A), jnp.float32))  # incl[a,j]=1 for a<=j
-    cum = jnp.einsum("bta,aj->btj", probs, incl,
-                     preferred_element_type=jnp.float32, precision=hi)
+    cum = probs
+    shift = 1
+    while shift < A:
+        cum = cum + jnp.pad(cum, ((0, 0), (0, 0), (shift, 0)))[:, :, :A]
+        shift *= 2
     pos = probs > 0
     lane = jnp.arange(A)
     last_pos = A - 1 - jnp.argmax(pos[:, :, ::-1], -1)  # (B,T)
@@ -980,10 +984,27 @@ def simulate_multi(tree, eval_fn, key, cfg: MCTSConfig):
     k_rand, k_eval = jax.random.split(key)
     rands = jax.random.uniform(k_rand, (K, B, T))
 
-    with jax.named_scope("solve"):
-        probs = node_probs(tree, _q_bounds(tree))  # one solve for all K
-    with jax.named_scope("sample"):
-        acts, nxts = _sample_children_multi(tree, probs, rands)  # (K,B,T) x2
+    # explicit opt-in only: the K-sample kernel measured 89ms/pass vs the XLA
+    # solve+sample pair's 24ms at 16k envs 9x9 K=8 (small (E,T,A) tiles are
+    # VPU-bound; XLA fuses the Newton chain onto bigger tiles) — kept as a
+    # variant for the auto='None' case NOT to pick up
+    if K > 1 and cfg is not None and bool(cfg.pallas_nodes):
+        from . import pallas_kernels
+
+        with jax.named_scope("solve"):
+            a_bkt, c_bkt = pallas_kernels.node_actions_multi(
+                tree, jnp.moveaxis(rands, 0, 1), _q_bounds(tree),
+                block_envs=cfg.pallas_nodes_envs,
+                interpret=cfg.pallas_nodes == "interpret",
+                mesh=cfg.mesh, mesh_axis=cfg.mesh_axis,
+            )
+        acts = jnp.moveaxis(a_bkt, 1, 0)  # (K,B,T)
+        nxts = jnp.moveaxis(c_bkt, 1, 0)
+    else:
+        with jax.named_scope("solve"):
+            probs = node_probs(tree, _q_bounds(tree))  # one solve for all K
+        with jax.named_scope("sample"):
+            acts, nxts = _sample_children_multi(tree, probs, rands)  # (K,B,T) x2
 
     # K pointer chases, folded into the batch axis
     with jax.named_scope("walk"):

@@ -157,3 +157,48 @@ def test_walk_kernel_matches_xla():
     np.testing.assert_array_equal(np.asarray(a_x), np.asarray(a_p))
     np.testing.assert_array_equal(np.asarray(c_x), np.asarray(c_p))
     np.testing.assert_array_equal(np.asarray(path_x), np.asarray(path_p))
+
+
+@pytest.mark.parametrize("seed,c_puct", [(0, 1.0), (2, 0.0625)])
+def test_node_actions_multi_matches_xla(seed, c_puct):
+    # the K-sample solve+sample kernel vs node_probs + _sample_children_multi
+    # (both use the log-shift prefix sum, so equality is bitwise)
+    rng = np.random.default_rng(seed)
+    B, T, A, K = 16, 12, 7, 4
+    tree = _random_tree(rng, B, T, A, c_puct=c_puct)
+    rands = jax.random.uniform(jax.random.PRNGKey(seed), (K, B, T))
+    qb = S._q_bounds(tree)
+
+    probs = S.node_probs(tree, qb)
+    a_xla, c_xla = S._sample_children_multi(tree, probs, rands)  # (K,B,T)
+
+    a_pal, c_pal = PK.node_actions_multi(
+        tree, jnp.moveaxis(rands, 0, 1), qb, block_envs=8, interpret=True
+    )  # (B,K,T)
+
+    np.testing.assert_array_equal(
+        np.asarray(a_xla), np.asarray(jnp.moveaxis(a_pal, 1, 0)))
+    np.testing.assert_array_equal(
+        np.asarray(c_xla), np.asarray(jnp.moveaxis(c_pal, 1, 0)))
+
+
+def test_simulate_multi_pallas_nodes_cfg():
+    # simulate_multi(cfg with pallas_nodes='interpret') routes the solve+
+    # sample through the K-kernel; tree statistics must match the XLA path
+    from boardlaw_tpu.envs import hex, validation
+
+    world = hex.Hex.initial(n_envs=8, boardsize=5)
+    agent = validation.RandomAgent()
+    cfg_x = S.MCTSConfig(n_nodes=13, leaves_per_pass=4, use_pallas=False)
+    cfg_p = S.MCTSConfig(n_nodes=13, leaves_per_pass=4, use_pallas=False,
+                         pallas_nodes="interpret", pallas_nodes_envs=8,
+                         pallas_walk=False)
+    key = jax.random.PRNGKey(7)
+
+    t_x = S.mcts(world, agent, key, cfg_x)
+    t_p = S.mcts(world, agent, key, cfg_p)
+
+    np.testing.assert_array_equal(np.asarray(t_x.children), np.asarray(t_p.children))
+    np.testing.assert_array_equal(np.asarray(t_x.n), np.asarray(t_p.n))
+    np.testing.assert_allclose(
+        np.asarray(t_x.w, np.float32), np.asarray(t_p.w, np.float32), atol=1e-5)
