@@ -449,14 +449,19 @@ def _sample_children_multi(tree, probs, rands):
         shift *= 2
     pos = probs > 0
     lane = jnp.arange(A)
-    last_pos = A - 1 - jnp.argmax(pos[:, :, ::-1], -1)  # (B,T)
+    # masked-iota max instead of reverse+argmax: the lane reversal alone cost
+    # ~13ms/pass at 16k envs (rev is a real data-movement op on TPU); this is
+    # the same formulation the Pallas node_actions kernels use, so the paths
+    # stay bit-equal
+    last_pos = jnp.max(jnp.where(pos, lane, -1), -1).astype(jnp.int32)  # (B,T)
     children_f = tree.children.astype(jnp.float32)
+    BIG = jnp.int32(A + 1)
 
     acts, childs = [], []
     for k in range(K):
         ok = pos & (cum >= rands[k][:, :, None])
-        first_ok = jnp.argmax(ok, -1)
-        a_k = jnp.where(ok.any(-1), first_ok, last_pos).astype(jnp.int32)
+        first_ok = jnp.min(jnp.where(ok, lane, BIG), -1)
+        a_k = jnp.where(first_ok < BIG, first_ok, last_pos).astype(jnp.int32)
         onehot = jax.nn.one_hot(a_k, A, dtype=jnp.float32)
         c_k = (children_f * onehot).sum(-1).astype(jnp.int32)
         acts.append(a_k)
