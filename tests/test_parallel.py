@@ -97,3 +97,21 @@ def test_pallas_shardmap_matches_xla(eight_devices):
         np.asarray(jax.device_get(s_p.buffer["logits"])),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_11x11_sharded_train_step(eight_devices):
+    """BASELINE.md config ladder, top rung: 11x11 sharded envs + multi-leaf
+    MCTS feeding the DP learner (one psum gradient reduction) on the mesh."""
+    cfg = TrainConfig(
+        boardsize=11, width=4, depth=1, n_envs=16, buffer_len=4,
+        n_nodes=6, mix_steps=4, leaves_per_pass=2,
+    )
+    mesh = make_mesh(8)
+    model, opt, init, warmup, train_step = make_train(cfg, mesh=mesh)
+
+    state = shard_train_state(init(jax.random.PRNGKey(0)), mesh)
+    assert state.worlds.board.sharding.spec[0] == "dp"
+
+    state = warmup(state)
+    state, aux = train_step(state)
+    assert np.isfinite(float(aux["loss.total"]))
