@@ -47,6 +47,21 @@ def rollout_ladder(nodes=(1, 4, 16, 64)):
     return ladder
 
 
+def external_ladder(randoms=(1.0, 0.75, 0.5, 0.0), command=None, **kwargs):
+    """The reference's external-engine randomization ladder (MoHex blended
+    with uniform-random moves at decreasing rates, live/__init__.py:134-209).
+    Uses the MoHex binary when available, otherwise the bundled gtphex engine
+    (cpp/gtphex.cpp) — a real GTP subprocess either way."""
+    from .. import gtp_engine, mohex
+
+    if command is None and not mohex.available():
+        command = gtp_engine.command()
+    return {
+        f"ext-{r:g}": mohex.MoHexAgent(random=r, command=command, **kwargs)
+        for r in randoms
+    }
+
+
 def _random_agent():
     inner = validation.RandomAgent()
 

@@ -83,3 +83,21 @@ def test_full_game_selfplay(command):
     else:
         pytest.fail("no terminal state within 26 plies of 5x5 hex")
     agent.close()
+
+
+def test_external_ladder_through_arena(command):
+    """The external-engine ladder (gtphex rungs) plays a league round through
+    arena.common.evaluate: every rung a real GTP subprocess."""
+    from boardlaw_tpu.arena import common, live
+
+    ladder = live.external_ladder(randoms=(1.0, 0.0), command=command,
+                                  max_proxies=2)
+    try:
+        world = hex.Hex.initial(2, 3)
+        results = common.evaluate(
+            world, dict(list(ladder.items())[:2]), key=jax.random.PRNGKey(0)
+        )
+        assert sum(r["games"] for r in results) == 2
+    finally:
+        for a in ladder.values():
+            a.close()
