@@ -309,6 +309,79 @@ def node_actions_multi(tree, rands, q_bounds, block_envs=16, interpret=False,
     )
 
 
+def _sample_children_kernel(
+    probs_ref, ch_ref, rands_ref, actions_ref, child_ref, *, E, K, T, A,
+):
+    """K inverse-CDF draws per node from PRECOMPUTED probs, plus the child
+    pointer lookups — sampling only (the Newton solve stays in XLA where its
+    unrolled elementwise chain fuses well). One VMEM residency replaces the
+    XLA sampler's ~K re-reads of the (B,T,A) cum/children tensors through
+    HBM. Same log-shift prefix sum and masked-iota selects as
+    search._sample_children_multi, so actions match bitwise."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (E, T, A), 2)
+    probs = probs_ref[:, :, :]
+
+    cum = probs
+    shift = 1
+    while shift < A:
+        cum = cum + jnp.pad(cum, ((0, 0), (0, 0), (shift, 0)))[:, :, :A]
+        shift *= 2
+    pos = probs > 0
+    BIG = jnp.int32(A + 1)
+    last_pos = jnp.max(jnp.where(pos, lane, -1), axis=-1)  # (E,T)
+    CH = ch_ref[:, :, :].astype(jnp.float32)
+
+    for k in range(K):
+        rand = rands_ref[:, k, :][:, :, None]  # (E,T,1)
+        ok = pos & (cum >= rand)
+        first_ok = jnp.min(jnp.where(ok, lane, BIG), axis=-1)
+        a_k = jnp.where(first_ok < BIG, first_ok, last_pos).astype(jnp.int32)
+        onehot = (lane == a_k[:, :, None]).astype(jnp.float32)
+        c_k = (CH * onehot).sum(-1).astype(jnp.int32)
+        actions_ref[:, k, :] = a_k
+        child_ref[:, k, :] = c_k
+
+
+def sample_children_multi(probs, children, rands, block_envs=64,
+                          interpret=False, mesh=None, mesh_axis="dp"):
+    """Pallas twin of search._sample_children_multi: probs (B,T,A) f32,
+    children (B,T,A) int, rands (B,K,T) f32 -> (actions, child) (B,K,T) i32.
+    Children stream in bf16 (node ids <= 127 are exact) to halve their HBM
+    read."""
+    B, T, A = probs.shape
+    K = rands.shape[1]
+    E = block_envs
+    shards = mesh.shape[mesh_axis] if mesh is not None else 1
+    assert (B // shards) % E == 0, (
+        f"per-shard envs {B}//{shards} must be divisible by block_envs {E}"
+    )
+
+    def inner(probs, ch, rands):
+        Bl = probs.shape[0]
+        grid = (Bl // E,)
+        row_spec = pl.BlockSpec((E, T, A), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        k_spec = pl.BlockSpec((E, K, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        kernel = functools.partial(_sample_children_kernel, E=E, K=K, T=T, A=A)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[row_spec, row_spec, k_spec],
+            out_specs=[k_spec, k_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((Bl, K, T), jnp.int32),
+                jax.ShapeDtypeStruct((Bl, K, T), jnp.int32),
+            ],
+            interpret=interpret,
+        )(probs, ch, rands)
+
+    inner = _shardwrap(inner, mesh, mesh_axis, n_batch_args=3, n_rep_args=0, n_outs=2)
+    return inner(
+        probs.astype(jnp.float32),
+        children.astype(jnp.bfloat16),
+        rands.astype(jnp.float32),
+    )
+
+
 def _walk_kernel(
     acts_ref, nxt_ref, term_ref, rootterm_ref, out_ref, *, E, T,
 ):

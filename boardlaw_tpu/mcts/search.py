@@ -76,6 +76,12 @@ class MCTSConfig:
     # in interpreter mode (CPU shard_map testing)
     pallas_nodes: object = None
     pallas_nodes_envs: int = 16  # node_actions kernel env blocks
+    # the K-sampler kernel (multi-leaf only): K inverse-CDF draws + child
+    # lookups from one VMEM residency of the solved probs, replacing the XLA
+    # sampler's ~K HBM re-reads. None = auto (on on TPU when env counts
+    # divide), True/False force, 'interpret' for CPU testing
+    pallas_sample: object = None
+    pallas_sample_envs: int = 64  # sampler kernel env blocks
     # the pointer-chase walk kernel: None = auto (on on TPU when the env
     # count divides), True/False force, 'interpret' for CPU testing
     pallas_walk: object = None
@@ -109,6 +115,18 @@ def _pallas_nodes_enabled(cfg, B):
     return (
         jax.devices()[0].platform == "tpu"
         and per_shard % cfg.pallas_nodes_envs == 0
+    )
+
+
+def _pallas_sample_enabled(cfg, B):
+    if cfg is None:
+        return False
+    if cfg.pallas_sample is not None:
+        return bool(cfg.pallas_sample)
+    per_shard = B // (cfg.mesh.shape[cfg.mesh_axis] if cfg.mesh is not None else 1)
+    return (
+        jax.devices()[0].platform == "tpu"
+        and per_shard % cfg.pallas_sample_envs == 0
     )
 
 
@@ -1008,8 +1026,21 @@ def simulate_multi(tree, eval_fn, key, cfg: MCTSConfig):
     else:
         with jax.named_scope("solve"):
             probs = node_probs(tree, _q_bounds(tree))  # one solve for all K
-        with jax.named_scope("sample"):
-            acts, nxts = _sample_children_multi(tree, probs, rands)  # (K,B,T) x2
+        if K > 1 and _pallas_sample_enabled(cfg, B):
+            from . import pallas_kernels
+
+            with jax.named_scope("sample"):
+                a_bkt, c_bkt = pallas_kernels.sample_children_multi(
+                    probs, tree.children, jnp.moveaxis(rands, 0, 1),
+                    block_envs=cfg.pallas_sample_envs,
+                    interpret=cfg.pallas_sample == "interpret",
+                    mesh=cfg.mesh, mesh_axis=cfg.mesh_axis,
+                )
+            acts = jnp.moveaxis(a_bkt, 1, 0)  # (K,B,T)
+            nxts = jnp.moveaxis(c_bkt, 1, 0)
+        else:
+            with jax.named_scope("sample"):
+                acts, nxts = _sample_children_multi(tree, probs, rands)  # (K,B,T) x2
 
     # K pointer chases, folded into the batch axis
     with jax.named_scope("walk"):

@@ -79,6 +79,8 @@ class TrainConfig:
     pallas_nodes_envs: int = 16
     pallas_walk: object = None  # the pointer-chase kernel (see MCTSConfig)
     pallas_walk_envs: int = 64
+    pallas_sample: object = None  # the K-sampler kernel (see MCTSConfig)
+    pallas_sample_envs: int = 64
     # batched MCTS: K leaves per pass sharing one solve + one K*B net eval
     # (see MCTSConfig.leaves_per_pass; 1 = reference-exact sequential search)
     leaves_per_pass: int = 1
@@ -100,6 +102,8 @@ class TrainConfig:
             pallas_nodes_envs=self.pallas_nodes_envs,
             pallas_walk=self.pallas_walk,
             pallas_walk_envs=self.pallas_walk_envs,
+            pallas_sample=self.pallas_sample,
+            pallas_sample_envs=self.pallas_sample_envs,
             leaves_per_pass=self.leaves_per_pass,
             mesh=mesh,
             mesh_axis=mesh_axis,

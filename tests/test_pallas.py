@@ -202,3 +202,48 @@ def test_simulate_multi_pallas_nodes_cfg():
     np.testing.assert_array_equal(np.asarray(t_x.n), np.asarray(t_p.n))
     np.testing.assert_allclose(
         np.asarray(t_x.w, np.float32), np.asarray(t_p.w, np.float32), atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_sample_children_kernel_matches_xla(seed):
+    # the sampler-only kernel vs _sample_children_multi on shared solved
+    # probs: bitwise equal (same log-shift prefix sum, same masked-iota
+    # selects)
+    rng = np.random.default_rng(seed)
+    B, T, A, K = 16, 12, 7, 4
+    tree = _random_tree(rng, B, T, A)
+    rands = jax.random.uniform(jax.random.PRNGKey(seed), (K, B, T))
+    probs = S.node_probs(tree, S._q_bounds(tree))
+
+    a_xla, c_xla = S._sample_children_multi(tree, probs, rands)
+    a_pal, c_pal = PK.sample_children_multi(
+        probs, tree.children, jnp.moveaxis(rands, 0, 1), block_envs=8,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a_xla), np.asarray(jnp.moveaxis(a_pal, 1, 0)))
+    np.testing.assert_array_equal(
+        np.asarray(c_xla), np.asarray(jnp.moveaxis(c_pal, 1, 0)))
+
+
+def test_simulate_multi_pallas_sample_cfg():
+    # simulate_multi(cfg with pallas_sample='interpret') routes sampling
+    # through the kernel; tree statistics must match the XLA path
+    from boardlaw_tpu.envs import hex, validation
+
+    world = hex.Hex.initial(n_envs=8, boardsize=5)
+    agent = validation.RandomAgent()
+    cfg_x = S.MCTSConfig(n_nodes=13, leaves_per_pass=4, use_pallas=False,
+                         pallas_sample=False)
+    cfg_p = S.MCTSConfig(n_nodes=13, leaves_per_pass=4, use_pallas=False,
+                         pallas_sample="interpret", pallas_sample_envs=8,
+                         pallas_walk=False)
+    key = jax.random.PRNGKey(7)
+
+    t_x = S.mcts(world, agent, key, cfg_x)
+    t_p = S.mcts(world, agent, key, cfg_p)
+
+    np.testing.assert_array_equal(np.asarray(t_x.children), np.asarray(t_p.children))
+    np.testing.assert_array_equal(np.asarray(t_x.n), np.asarray(t_p.n))
+    np.testing.assert_allclose(
+        np.asarray(t_x.w, np.float32), np.asarray(t_p.w, np.float32), atol=1e-5)
