@@ -402,12 +402,16 @@ def run(
     max_steps=None,
     resume=None,
     arena=False,
+    n_devices=None,
     **overrides,
 ):
     """Train an agent (reference main.py:147-200). Returns the run name.
 
     `max_steps` bounds learner steps (for smoke tests); `resume` continues a
-    previous run from its latest checkpoint.
+    previous run from its latest checkpoint. `n_devices` > 1 shards the env
+    axis over a dp mesh of the first n local devices (params replicate, one
+    psum gradient reduction per step — see parallel/mesh.py); the reference
+    has no in-run analog (it scales by whole runs per GPU).
     """
     cfg = TrainConfig(
         boardsize=boardsize,
@@ -419,7 +423,12 @@ def run(
         lr=lr,
         **overrides,
     )
-    model, opt, init, warmup, train_step = make_train(cfg)
+    mesh = None
+    if n_devices is not None and n_devices > 1:
+        from .parallel import make_mesh
+
+        mesh = make_mesh(n_devices)
+    model, opt, init, warmup, train_step = make_train(cfg, mesh=mesh)
 
     state = init(jax.random.PRNGKey(cfg.seed))
 
@@ -444,6 +453,10 @@ def run(
             run_name, "model", {"cfg": cfg.__dict__, "kind": "FCModel"}
         )
 
+    if mesh is not None:
+        from .parallel import shard_train_state
+
+        state = shard_train_state(state, mesh)
     state = warmup(state)
 
     flops_per = bstorage.flops_per_sample(state.params, cfg.n_nodes)

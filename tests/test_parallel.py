@@ -115,3 +115,19 @@ def test_11x11_sharded_train_step(eight_devices):
     state = warmup(state)
     state, aux = train_step(state)
     assert np.isfinite(float(aux["loss.total"]))
+
+
+def test_train_run_n_devices(eight_devices):
+    """train.run(n_devices=8) end-to-end: the user-facing multi-device entry
+    shards envs over the mesh and completes steps + checkpoints."""
+    from boardlaw_tpu.pavlov import runs
+    from boardlaw_tpu.pavlov.tests import mock_dir
+    from boardlaw_tpu import train
+
+    with mock_dir():
+        name = train.run(
+            boardsize=3, width=4, depth=1, n_envs=16, nodes=4,
+            mix_steps=4, buffer_len=4, max_steps=2, storer="time",
+            n_devices=8,
+        )
+        assert runs.info(name)["params"]["boardsize"] == 3
