@@ -55,6 +55,13 @@ class MCTSConfig:
     # backed up once per draw). Tree capacity spends K slots per pass, so
     # n_nodes stays the node budget.
     leaves_per_pass: int = 1
+    # multi-leaf (K>1) solve budget: Newton iterations per pass, and whether
+    # to warm-start each pass's solve from the previous pass's converged
+    # alpha (Tree.alpha). Both keep the reference's one-sided err<tol
+    # convergence contract; K=1 always runs the cold 16-iteration solve for
+    # bit-parity with the sequential reference search.
+    solve_iters: int = 16
+    warm_solve: bool = False  # flip with a lower solve_iters once chip-measured
     tree_dtype: object = jnp.float32  # storage dtype for logits
     # Compact tree bookkeeping: int8 child pointers (valid while n_nodes<=127)
     # and bf16 edge visit counts (exact while total visits<=256, i.e.
@@ -222,6 +229,10 @@ def build(world, cfg: MCTSConfig):
         w_edge=jnp.zeros((B, T, A), jnp.float32),
         c_puct=jnp.full((B,), cfg.c_puct, jnp.float32),
         sim=jnp.array(0, jnp.int32),
+        # warm-start slot for the multi-leaf solve: zeros always fail the
+        # warm gate (0 <= floor), so the first pass runs the cold init
+        alpha=(jnp.zeros((B, T), jnp.float32)
+               if (K > 1 and cfg.warm_solve) else None),
     )
 
 
@@ -265,7 +276,8 @@ def initialize(tree, decisions, key, cfg: MCTSConfig, valid):
 # The regularized-policy solve
 # --------------------------------------------------------------------------
 
-def solve_policy(pi, q, lambda_n, tol=1e-3, n_iters=16):
+def solve_policy(pi, q, lambda_n, tol=1e-3, n_iters=16, warm_alpha=None,
+                 return_alpha=False):
     """Solve pi_bar(a) = lambda_n*pi(a)/(alpha - q(a)) with alpha chosen by
     Newton iteration so sum_a pi_bar = 1, vectorized over envs.
 
@@ -280,6 +292,16 @@ def solve_policy(pi, q, lambda_n, tol=1e-3, n_iters=16):
     Newton steps (the reference notes the same, cuda.cu:45-47), so 16 fused
     iterations is both faster and as accurate as the reference's up-to-100
     early-exit loop.
+
+    `warm_alpha` (B,) restarts Newton from a previous solve of a slightly
+    perturbed problem (the multi-leaf search re-solves every node each pass
+    while only ~K paths' stats moved). Newton on this convex decreasing s
+    converges monotonically from BELOW the root, so a stale alpha is kept
+    only where it is still strictly below the new root (s(warm) > 1) and
+    above the new floor; elsewhere it falls back to the cold init. Converged
+    results satisfy the same one-sided `err < tol` criterion as the cold
+    solve and the reference's early-exit loop — same tolerance contract,
+    fewer iterations needed.
     """
     lam = lambda_n[:, None].astype(jnp.float32)
     pi = pi.astype(jnp.float32)
@@ -291,6 +313,11 @@ def solve_policy(pi, q, lambda_n, tol=1e-3, n_iters=16):
     gap = jnp.maximum(lampi, 1e-4)
     alpha = jnp.max(q + gap, -1)
     floor = jnp.max(q, -1) + 1e-6  # keep alpha strictly above every q
+    if warm_alpha is not None:
+        warm_alpha = warm_alpha.astype(jnp.float32)
+        s_w = (lampi / (warm_alpha[:, None] - q)).sum(-1)
+        ok = (warm_alpha > floor) & (s_w > 1.0)
+        alpha = jnp.where(ok, jnp.maximum(warm_alpha, alpha), alpha)
     done = jnp.zeros(alpha.shape, bool)
 
     for _ in range(n_iters):
@@ -302,7 +329,8 @@ def solve_policy(pi, q, lambda_n, tol=1e-3, n_iters=16):
         done = done | (err < tol)
         alpha = jnp.maximum(alpha - jnp.where(done, 0.0, err / g), floor)
 
-    return lampi / (alpha[:, None] - q)
+    probs = lampi / (alpha[:, None] - q)
+    return (probs, alpha) if return_alpha else probs
 
 
 def _take_node(arr, t, dtype=None):
@@ -411,10 +439,14 @@ def descend_reference(tree, rands):
     return parents, actions
 
 
-def node_probs(tree, q_bounds):
+def node_probs(tree, q_bounds, warm_alpha=None, n_iters=16, return_alpha=False):
     """Solved pi_bar for EVERY node of every env in one fully-vectorized
     pass -> (B,T,A) f32. The Newton solve is the expensive part of descend;
-    computing it per-node once lets K samples share one solve."""
+    computing it per-node once lets K samples share one solve.
+
+    `warm_alpha` (B,T): restart from the previous pass's converged alphas
+    (see solve_policy) — the multi-leaf search threads them through
+    `Tree.alpha`."""
     B, T, A = tree.children.shape
     lo, hi = q_bounds
 
@@ -429,9 +461,16 @@ def node_probs(tree, q_bounds):
     N = counts.sum(-1)  # (B,T)
     lam = tree.c_puct[:, None] * N / (N + A)
 
-    return solve_policy(
-        pi.reshape(B * T, A), q.reshape(B * T, A), lam.reshape(B * T)
-    ).reshape(B, T, A)
+    out = solve_policy(
+        pi.reshape(B * T, A), q.reshape(B * T, A), lam.reshape(B * T),
+        n_iters=n_iters,
+        warm_alpha=None if warm_alpha is None else warm_alpha.reshape(B * T),
+        return_alpha=return_alpha,
+    )
+    if return_alpha:
+        probs, alpha = out
+        return probs.reshape(B, T, A), alpha.reshape(B, T)
+    return out.reshape(B, T, A)
 
 
 def _sample_children(tree, probs, rands):
@@ -1024,8 +1063,21 @@ def simulate_multi(tree, eval_fn, key, cfg: MCTSConfig):
         acts = jnp.moveaxis(a_bkt, 1, 0)  # (K,B,T)
         nxts = jnp.moveaxis(c_bkt, 1, 0)
     else:
+        use_warm = K > 1 and cfg.warm_solve and tree.alpha is not None
         with jax.named_scope("solve"):
-            probs = node_probs(tree, _q_bounds(tree))  # one solve for all K
+            # one solve for all K; K>1 warm-starts from the previous pass's
+            # converged alphas and stores this pass's for the next
+            if use_warm:
+                probs, alpha_new = node_probs(
+                    tree, _q_bounds(tree), warm_alpha=tree.alpha,
+                    n_iters=cfg.solve_iters, return_alpha=True,
+                )
+                tree = tree.replace(alpha=alpha_new)
+            else:
+                probs = node_probs(
+                    tree, _q_bounds(tree),
+                    n_iters=cfg.solve_iters if K > 1 else 16,
+                )
         if K > 1 and _pallas_sample_enabled(cfg, B):
             from . import pallas_kernels
 

@@ -84,6 +84,8 @@ class TrainConfig:
     # batched MCTS: K leaves per pass sharing one solve + one K*B net eval
     # (see MCTSConfig.leaves_per_pass; 1 = reference-exact sequential search)
     leaves_per_pass: int = 1
+    solve_iters: int = 16  # K>1 Newton budget (see MCTSConfig)
+    warm_solve: bool = False  # K>1 warm-start from the previous pass's alpha
 
     @property
     def compute_dtype(self):
@@ -105,6 +107,8 @@ class TrainConfig:
             pallas_sample=self.pallas_sample,
             pallas_sample_envs=self.pallas_sample_envs,
             leaves_per_pass=self.leaves_per_pass,
+            solve_iters=self.solve_iters,
+            warm_solve=self.warm_solve,
             mesh=mesh,
             mesh_axis=mesh_axis,
         )

@@ -460,3 +460,59 @@ def test_multi_depth_value():
         world, jax.random.PRNGKey(1))
     r = M.root(tree)
     np.testing.assert_allclose(np.asarray(r["v"]), [[1 / 8], [1 / 8]], atol=1e-5)
+
+
+def test_solve_policy_warm_start():
+    # a warm restart from a converged alpha of a slightly-perturbed problem
+    # reaches the same err<tol contract in a fraction of the iterations
+    rng = np.random.default_rng(0)
+    B, A = 256, 81
+    logits = rng.normal(size=(B, A)).astype(np.float32)
+    pi = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    q = rng.uniform(size=(B, A)).astype(np.float32)
+    lam = rng.uniform(0.05, 2.0, size=(B,)).astype(np.float32)
+
+    probs0, alpha0 = M.search.solve_policy(
+        jnp.asarray(pi), jnp.asarray(q), jnp.asarray(lam), return_alpha=True)
+    s0 = np.asarray(probs0.sum(-1))
+    assert (s0 < 1 + 2e-3).all() and (s0 > 0.9).all()
+
+    # perturb q a little (one backup's worth of drift) and re-solve warm with
+    # half the cold budget (rows whose root moved UP restart warm and converge
+    # in 1-2 iters; rows whose root moved DOWN reject the warm init — it sits
+    # above the new root — and re-run the cold path, which needs ~8 here)
+    q2 = np.clip(q + rng.normal(scale=1e-3, size=q.shape), 0, 1).astype(np.float32)
+    probs_w, _ = M.search.solve_policy(
+        jnp.asarray(pi), jnp.asarray(q2), jnp.asarray(lam), n_iters=8,
+        warm_alpha=alpha0, return_alpha=True)
+    s_w = np.asarray(probs_w.sum(-1))
+    assert (s_w < 1 + 2e-3).all() and (s_w > 0.9).all()
+
+    # zeros (the build-time init) must fall back to the cold init: same
+    # result as the plain cold solve, bitwise
+    probs_z = M.search.solve_policy(
+        jnp.asarray(pi), jnp.asarray(q), jnp.asarray(lam),
+        warm_alpha=jnp.zeros((B,)))
+    np.testing.assert_array_equal(np.asarray(probs_z), np.asarray(probs0))
+
+
+def test_multi_warm_solve_matches_cold_distribution():
+    # warm_solve changes converged alphas only within the err<tol contract:
+    # root visit distributions of warm vs cold searches stay close
+    world = hex.Hex.initial(n_envs=64, boardsize=5)
+    agent = validation.RandomAgent()
+    cfg_w = M.MCTSConfig(n_nodes=17, leaves_per_pass=4, use_pallas=False,
+                         warm_solve=True)
+    cfg_c = M.MCTSConfig(n_nodes=17, leaves_per_pass=4, use_pallas=False,
+                         warm_solve=False)
+    key = jax.random.PRNGKey(3)
+    t_w = M.search.mcts(world, agent, key, cfg_w)
+    t_c = M.search.mcts(world, agent, key, cfg_c)
+    # same node budget spent
+    np.testing.assert_array_equal(
+        np.asarray(t_w.n.sum(-1)), np.asarray(t_c.n.sum(-1)))
+    # root children visit counts agree on average (tolerance-equivalent
+    # solves sample near-identical actions)
+    dn = np.abs(np.asarray(t_w.n_edge[:, 0], np.float32)
+                - np.asarray(t_c.n_edge[:, 0], np.float32))
+    assert dn.mean() < 0.5, dn.mean()
