@@ -55,13 +55,17 @@ class MCTSConfig:
     # backed up once per draw). Tree capacity spends K slots per pass, so
     # n_nodes stays the node budget.
     leaves_per_pass: int = 1
-    # multi-leaf (K>1) solve budget: Newton iterations per pass, and whether
-    # to warm-start each pass's solve from the previous pass's converged
-    # alpha (Tree.alpha). Both keep the reference's one-sided err<tol
-    # convergence contract; K=1 always runs the cold 16-iteration solve for
-    # bit-parity with the sequential reference search.
-    solve_iters: int = 16
-    warm_solve: bool = False  # flip with a lower solve_iters once chip-measured
+    # multi-leaf (K>1) solve budget. Default: 6 safeguarded-Halley iterations
+    # with a TWO-SIDED |err|<tol check — converges everywhere the reference's
+    # monotone Newton needs ~10-16 (see solve_policy; real trees converge in
+    # 3, the margin covers extreme c_puct). solve_accel=False +
+    # solve_iters=16 recovers the pure reference formulation. K=1 always
+    # runs the cold 16-iteration Newton for bit-parity with the sequential
+    # reference search. warm_solve additionally restarts from the previous
+    # pass's alphas (Tree.alpha).
+    solve_iters: int = 6
+    solve_accel: bool = True
+    warm_solve: bool = False
     tree_dtype: object = jnp.float32  # storage dtype for logits
     # Compact tree bookkeeping: int8 child pointers (valid while n_nodes<=127)
     # and bf16 edge visit counts (exact while total visits<=256, i.e.
@@ -277,7 +281,7 @@ def initialize(tree, decisions, key, cfg: MCTSConfig, valid):
 # --------------------------------------------------------------------------
 
 def solve_policy(pi, q, lambda_n, tol=1e-3, n_iters=16, warm_alpha=None,
-                 return_alpha=False):
+                 return_alpha=False, accel=False):
     """Solve pi_bar(a) = lambda_n*pi(a)/(alpha - q(a)) with alpha chosen by
     Newton iteration so sum_a pi_bar = 1, vectorized over envs.
 
@@ -302,6 +306,20 @@ def solve_policy(pi, q, lambda_n, tol=1e-3, n_iters=16, warm_alpha=None,
     results satisfy the same one-sided `err < tol` criterion as the cold
     solve and the reference's early-exit loop — same tolerance contract,
     fewer iterations needed.
+
+    `accel=True` switches to SAFEGUARDED-HALLEY steps with a TWO-SIDED
+    |err| < tol done check — a strictly stronger contract than the
+    reference's one-sided check. Each step is Newton times the Halley factor
+    1/(1 - t), t = err*s''/(2 s'^2), applied only from BELOW the root
+    (err > 0) and only while stable (t < 0.75, factor capped at 4x): the
+    plain-Halley denominator flips sign when curvature dominates and would
+    plunge alpha into the q-pole. Any overshoot lands on the far (pole-free)
+    side and the next plain-Newton step walks back; the two-sided check
+    never freezes an overshot row as 'done'. Measured: real multi-leaf trees
+    converge everywhere in 3 accelerated steps (vs ~10-16 monotone Newton);
+    a brutal synthetic sweep (lambda in [5e-4, 1e3], uniform q) converges
+    everywhere in 6 (vs 8 Newton). The K>1 production budget is 6; K=1
+    keeps the bit-exact reference formulation.
     """
     lam = lambda_n[:, None].astype(jnp.float32)
     pi = pi.astype(jnp.float32)
@@ -326,8 +344,16 @@ def solve_policy(pi, q, lambda_n, tol=1e-3, n_iters=16, warm_alpha=None,
         s = terms.sum(-1)
         g = -(terms * r).sum(-1)
         err = s - 1.0
-        done = done | (err < tol)
-        alpha = jnp.maximum(alpha - jnp.where(done, 0.0, err / g), floor)
+        step = err / g
+        if accel:
+            done = done | (jnp.abs(err) < tol)
+            h = 2.0 * (terms * r * r).sum(-1)
+            t = err * h / (2.0 * g * g)
+            ok = (err > 0) & (t < 0.75)
+            step = jnp.where(ok, step / jnp.maximum(1.0 - t, 0.25), step)
+        else:
+            done = done | (err < tol)
+        alpha = jnp.maximum(alpha - jnp.where(done, 0.0, step), floor)
 
     probs = lampi / (alpha[:, None] - q)
     return (probs, alpha) if return_alpha else probs
@@ -439,7 +465,8 @@ def descend_reference(tree, rands):
     return parents, actions
 
 
-def node_probs(tree, q_bounds, warm_alpha=None, n_iters=16, return_alpha=False):
+def node_probs(tree, q_bounds, warm_alpha=None, n_iters=16, return_alpha=False,
+               accel=False):
     """Solved pi_bar for EVERY node of every env in one fully-vectorized
     pass -> (B,T,A) f32. The Newton solve is the expensive part of descend;
     computing it per-node once lets K samples share one solve.
@@ -463,7 +490,7 @@ def node_probs(tree, q_bounds, warm_alpha=None, n_iters=16, return_alpha=False):
 
     out = solve_policy(
         pi.reshape(B * T, A), q.reshape(B * T, A), lam.reshape(B * T),
-        n_iters=n_iters,
+        n_iters=n_iters, accel=accel,
         warm_alpha=None if warm_alpha is None else warm_alpha.reshape(B * T),
         return_alpha=return_alpha,
     )
@@ -1070,13 +1097,15 @@ def simulate_multi(tree, eval_fn, key, cfg: MCTSConfig):
             if use_warm:
                 probs, alpha_new = node_probs(
                     tree, _q_bounds(tree), warm_alpha=tree.alpha,
-                    n_iters=cfg.solve_iters, return_alpha=True,
+                    n_iters=cfg.solve_iters, accel=cfg.solve_accel,
+                    return_alpha=True,
                 )
                 tree = tree.replace(alpha=alpha_new)
             else:
                 probs = node_probs(
                     tree, _q_bounds(tree),
                     n_iters=cfg.solve_iters if K > 1 else 16,
+                    accel=cfg.solve_accel if K > 1 else False,
                 )
         if K > 1 and _pallas_sample_enabled(cfg, B):
             from . import pallas_kernels

@@ -84,7 +84,8 @@ class TrainConfig:
     # batched MCTS: K leaves per pass sharing one solve + one K*B net eval
     # (see MCTSConfig.leaves_per_pass; 1 = reference-exact sequential search)
     leaves_per_pass: int = 1
-    solve_iters: int = 16  # K>1 Newton budget (see MCTSConfig)
+    solve_iters: int = 6  # K>1 solve budget (see MCTSConfig)
+    solve_accel: bool = True  # safeguarded-Halley acceleration
     warm_solve: bool = False  # K>1 warm-start from the previous pass's alpha
 
     @property
@@ -108,6 +109,7 @@ class TrainConfig:
             pallas_sample_envs=self.pallas_sample_envs,
             leaves_per_pass=self.leaves_per_pass,
             solve_iters=self.solve_iters,
+            solve_accel=self.solve_accel,
             warm_solve=self.warm_solve,
             mesh=mesh,
             mesh_axis=mesh_axis,

@@ -108,25 +108,31 @@ def main():
         return tree
 
     @jax.jit
-    def one_more(tree, key):
-        return search.simulate_multi(tree, eval_fn, key, mcfg)
-
-    @jax.jit
-    def traces(tree, tree2):
+    def probe(tree, key):
+        """Advance 4 more passes; per pass, trace cold/halley/warm done
+        fractions (warm from the previous pass's converged alpha). Returns
+        per-iteration fractions averaged over passes."""
         pi, q, lam = inputs_of(tree)
-        cold, alpha_star = newton_trace(pi, q, lam)
-        hall, _ = halley_trace(pi, q, lam)
-        pi2, q2, lam2 = inputs_of(tree2)
-        warm, _ = newton_trace(pi2, q2, lam2, warm_alpha=alpha_star)
-        cold2, _ = newton_trace(pi2, q2, lam2)
-        return cold, hall, warm, cold2
+        _, alpha_prev = newton_trace(pi, q, lam)
+
+        def body(carry, k):
+            tree, alpha_prev = carry
+            tree = search.simulate_multi(tree, eval_fn, k, mcfg)
+            pi, q, lam = inputs_of(tree)
+            cold, alpha_star = newton_trace(pi, q, lam)
+            hall, _ = halley_trace(pi, q, lam)
+            warm, _ = newton_trace(pi, q, lam, warm_alpha=alpha_prev)
+            return (tree, alpha_star), (cold, hall, warm)
+
+        (_, _), (cold, hall, warm) = jax.lax.scan(
+            body, (tree, alpha_prev), jax.random.split(key, 4))
+        return cold.mean(0), hall.mean(0), warm.mean(0)
 
     tree = build_tree(world, jax.random.PRNGKey(1))
     jax.block_until_ready(tree.n)
-    tree2 = one_more(tree, jax.random.PRNGKey(2))
-    cold, hall, warm, cold2 = jax.device_get(traces(tree, tree2))
+    cold, hall, warm = jax.device_get(probe(tree, jax.random.PRNGKey(2)))
     for name, f in [("cold newton", cold), ("cold halley", hall),
-                    ("warm newton(next pass)", warm), ("cold newton(next pass)", cold2)]:
+                    ("warm newton(prev-pass alpha)", warm)]:
         print(name + ":")
         print("  " + " ".join(f"{x:.4f}" for x in f), flush=True)
 

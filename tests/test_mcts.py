@@ -516,3 +516,28 @@ def test_multi_warm_solve_matches_cold_distribution():
     dn = np.abs(np.asarray(t_w.n_edge[:, 0], np.float32)
                 - np.asarray(t_c.n_edge[:, 0], np.float32))
     assert dn.mean() < 0.5, dn.mean()
+
+
+def test_solve_policy_mixed_contract():
+    # the halley+newton mix meets a TWO-SIDED |err|<tol on rows the one-sided
+    # newton-16 solves, at a quarter of the iterations
+    rng = np.random.default_rng(5)
+    B, A = 512, 81
+    logits = rng.normal(size=(B, A)).astype(np.float32)
+    pi = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    q = rng.uniform(size=(B, A)).astype(np.float32)
+    lam = rng.uniform(0.05, 2.0, size=(B,)).astype(np.float32)
+
+    probs, alpha = M.search.solve_policy(
+        jnp.asarray(pi), jnp.asarray(q), jnp.asarray(lam),
+        n_iters=6, accel=True, return_alpha=True)
+    s = np.asarray(probs.sum(-1))
+    assert (np.abs(s - 1.0) < 2e-3).all(), (s.min(), s.max())
+
+    # brutal lambda range: the safeguard must keep every row off the q-pole
+    lam_b = rng.uniform(0.0005, 1000.0, size=(B,)).astype(np.float32)
+    probs_b = M.search.solve_policy(
+        jnp.asarray(pi), jnp.asarray(q), jnp.asarray(lam_b),
+        n_iters=6, accel=True)
+    s_b = np.asarray(probs_b.sum(-1))
+    assert (np.abs(s_b - 1.0) < 2e-3).all(), (s_b.min(), s_b.max())

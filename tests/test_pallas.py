@@ -189,13 +189,15 @@ def test_simulate_multi_pallas_nodes_cfg():
 
     world = hex.Hex.initial(n_envs=8, boardsize=5)
     agent = validation.RandomAgent()
-    # warm_solve off on both sides: the K-kernel solves cold, and a warm
-    # XLA solve converges to a (tolerance-equivalent) different alpha
+    # pin both sides to the K-kernel's cold newton-16 solve (the XLA default
+    # is the tolerance-equivalent halley+newton mix, which converges to a
+    # different alpha within tol)
+    solver = dict(warm_solve=False, solve_iters=16, solve_accel=False)
     cfg_x = S.MCTSConfig(n_nodes=13, leaves_per_pass=4, use_pallas=False,
-                         warm_solve=False)
+                         **solver)
     cfg_p = S.MCTSConfig(n_nodes=13, leaves_per_pass=4, use_pallas=False,
                          pallas_nodes="interpret", pallas_nodes_envs=8,
-                         pallas_walk=False, warm_solve=False)
+                         pallas_walk=False, **solver)
     key = jax.random.PRNGKey(7)
 
     t_x = S.mcts(world, agent, key, cfg_x)
