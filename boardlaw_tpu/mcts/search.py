@@ -134,11 +134,9 @@ def _pallas_sample_enabled(cfg, B):
         return False
     if cfg.pallas_sample is not None:
         return bool(cfg.pallas_sample)
-    per_shard = B // (cfg.mesh.shape[cfg.mesh_axis] if cfg.mesh is not None else 1)
-    return (
-        jax.devices()[0].platform == "tpu"
-        and per_shard % cfg.pallas_sample_envs == 0
-    )
+    # auto = OFF until chip-measured (Mosaic compiles of node-shaped kernels
+    # run 10+ min remotely; enable explicitly via pallas_sample=True)
+    return False
 
 
 def _pallas_walk_enabled(cfg, B):
