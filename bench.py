@@ -94,7 +94,24 @@ def bench_mcts(n_envs, boardsize, width, depth, n_nodes, reps=3):
     return sims / dt, samples / dt
 
 
+def _wait_for_backend(budget_s=480):
+    """The axon tunnel can report UNAVAILABLE for a while after an aborted
+    chip job; poll a trivial program before giving up (CLAUDE.md gotchas)."""
+    deadline = time.time() + budget_s
+    while True:
+        try:
+            jax.jit(lambda a: a + 1)(jnp.zeros(8)).block_until_ready()
+            return
+        except Exception as e:
+            if time.time() > deadline:
+                raise
+            print(f"# backend unavailable ({type(e).__name__}); retrying...",
+                  file=sys.stderr, flush=True)
+            time.sleep(30)
+
+
 def main():
+    _wait_for_backend()
     on_tpu = jax.devices()[0].platform != "cpu"
     if on_tpu:
         env_envs, mcts_envs = 32 * 1024, 16 * 1024
