@@ -194,7 +194,8 @@ def node_actions(tree, rands, q_bounds, block_envs=16, interpret=False, mesh=Non
 
 def _node_actions_multi_kernel(
     logits_ref, ne_ref, we_ref, ch_ref, rands_ref, cp_ref, qb_ref,
-    actions_ref, child_ref, *, E, K, T, A, n_actions,
+    actions_ref, child_ref, *, E, K, T, A, n_actions, n_iters=16,
+    accel=False,
 ):
     """`_node_actions_kernel` with K rand sets sharing ONE VMEM-resident
     Newton solve — the kernel for the multi-leaf search's solve+sample stage
@@ -223,14 +224,25 @@ def _node_actions_multi_kernel(
     alpha = jnp.max(q + gap, axis=-1, keepdims=True)
     floor = jnp.max(q, axis=-1, keepdims=True) + 1e-6
     done = jnp.zeros_like(alpha, dtype=jnp.bool_)
-    for _ in range(16):
+    # same iteration rule as search.solve_policy (incl. the safeguarded-
+    # Halley acceleration) so the kernel stays bit-equal to the XLA path
+    # under identical (n_iters, accel) settings
+    for _ in range(n_iters):
         r = 1.0 / (alpha - q)
         terms = lampi * r
         s = terms.sum(-1, keepdims=True)
         g = -(terms * r).sum(-1, keepdims=True)
         err = s - 1.0
-        done = done | (err < 1e-3)
-        alpha = jnp.maximum(alpha - jnp.where(done, 0.0, err / g), floor)
+        step = err / g
+        if accel:
+            done = done | (jnp.abs(err) < 1e-3)
+            h = 2.0 * (terms * r * r).sum(-1, keepdims=True)
+            t = err * h / (2.0 * g * g)
+            ok = (err > 0) & (t < 0.75)
+            step = jnp.where(ok, step / jnp.maximum(1.0 - t, 0.25), step)
+        else:
+            done = done | (err < 1e-3)
+        alpha = jnp.maximum(alpha - jnp.where(done, 0.0, step), floor)
     probs = lampi / (alpha - q)
 
     # ONE log-shift prefix sum; K compare/select passes (same dataflow as
@@ -257,7 +269,7 @@ def _node_actions_multi_kernel(
 
 
 def node_actions_multi(tree, rands, q_bounds, block_envs=16, interpret=False,
-                       mesh=None, mesh_axis="dp"):
+                       mesh=None, mesh_axis="dp", n_iters=16, accel=False):
     """Pallas twin of search's node_probs + _sample_children_multi:
     rands (B,K,T) -> (actions (B,K,T) int32, child (B,K,T) int32)."""
     B, T, A = tree.children.shape
@@ -275,7 +287,8 @@ def node_actions_multi(tree, rands, q_bounds, block_envs=16, interpret=False,
         row_spec = pl.BlockSpec((E, T, A), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         k_spec = pl.BlockSpec((E, K, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         kernel = functools.partial(
-            _node_actions_multi_kernel, E=E, K=K, T=T, A=A, n_actions=A
+            _node_actions_multi_kernel, E=E, K=K, T=T, A=A, n_actions=A,
+            n_iters=n_iters, accel=accel,
         )
         return pl.pallas_call(
             kernel,

@@ -1084,6 +1084,7 @@ def simulate_multi(tree, eval_fn, key, cfg: MCTSConfig):
                 block_envs=cfg.pallas_nodes_envs,
                 interpret=cfg.pallas_nodes == "interpret",
                 mesh=cfg.mesh, mesh_axis=cfg.mesh_axis,
+                n_iters=cfg.solve_iters, accel=cfg.solve_accel,
             )
         acts = jnp.moveaxis(a_bkt, 1, 0)  # (K,B,T)
         nxts = jnp.moveaxis(c_bkt, 1, 0)

@@ -189,15 +189,12 @@ def test_simulate_multi_pallas_nodes_cfg():
 
     world = hex.Hex.initial(n_envs=8, boardsize=5)
     agent = validation.RandomAgent()
-    # pin both sides to the K-kernel's cold newton-16 solve (the XLA default
-    # is the tolerance-equivalent halley+newton mix, which converges to a
-    # different alpha within tol)
-    solver = dict(warm_solve=False, solve_iters=16, solve_accel=False)
-    cfg_x = S.MCTSConfig(n_nodes=13, leaves_per_pass=4, use_pallas=False,
-                         **solver)
+    # production solver defaults on BOTH sides: the kernel implements the
+    # same safeguarded-Halley rule, so the paths stay in lockstep
+    cfg_x = S.MCTSConfig(n_nodes=13, leaves_per_pass=4, use_pallas=False)
     cfg_p = S.MCTSConfig(n_nodes=13, leaves_per_pass=4, use_pallas=False,
                          pallas_nodes="interpret", pallas_nodes_envs=8,
-                         pallas_walk=False, **solver)
+                         pallas_walk=False)
     key = jax.random.PRNGKey(7)
 
     t_x = S.mcts(world, agent, key, cfg_x)
@@ -252,3 +249,26 @@ def test_simulate_multi_pallas_sample_cfg():
     np.testing.assert_array_equal(np.asarray(t_x.n), np.asarray(t_p.n))
     np.testing.assert_allclose(
         np.asarray(t_x.w, np.float32), np.asarray(t_p.w, np.float32), atol=1e-5)
+
+
+@pytest.mark.parametrize("accel,n_iters", [(True, 6), (False, 16)])
+def test_node_actions_multi_accel_matches_xla(accel, n_iters):
+    # the kernel's solver rule tracks search.solve_policy under both the
+    # accelerated and the reference formulation
+    rng = np.random.default_rng(9)
+    B, T, A, K = 16, 12, 7, 4
+    tree = _random_tree(rng, B, T, A)
+    rands = jax.random.uniform(jax.random.PRNGKey(9), (K, B, T))
+    qb = S._q_bounds(tree)
+
+    probs = S.node_probs(tree, qb, n_iters=n_iters, accel=accel)
+    a_xla, c_xla = S._sample_children_multi(tree, probs, rands)
+
+    a_pal, c_pal = PK.node_actions_multi(
+        tree, jnp.moveaxis(rands, 0, 1), qb, block_envs=8, interpret=True,
+        n_iters=n_iters, accel=accel,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a_xla), np.asarray(jnp.moveaxis(a_pal, 1, 0)))
+    np.testing.assert_array_equal(
+        np.asarray(c_xla), np.asarray(jnp.moveaxis(c_pal, 1, 0)))
