@@ -55,17 +55,24 @@ class MCTSConfig:
     # backed up once per draw). Tree capacity spends K slots per pass, so
     # n_nodes stays the node budget.
     leaves_per_pass: int = 1
-    # multi-leaf (K>1) solve budget. Default: 6 safeguarded-Halley iterations
-    # with a TWO-SIDED |err|<tol check — converges everywhere the reference's
-    # monotone Newton needs ~10-16 (see solve_policy; real trees converge in
-    # 3, the margin covers extreme c_puct). solve_accel=False +
-    # solve_iters=16 recovers the pure reference formulation. K=1 always
-    # runs the cold 16-iteration Newton for bit-parity with the sequential
-    # reference search. warm_solve additionally restarts from the previous
-    # pass's alphas (Tree.alpha).
-    solve_iters: int = 6
+    # multi-leaf (K>1) solve budget. Default: 3 safeguarded-Halley iterations
+    # warm-started from the previous pass's converged alphas (Tree.alpha) —
+    # between passes only ~K rows' stats move, so warm rows re-converge
+    # immediately and the budget covers the moved ones (real trees converge
+    # in 3 accelerated steps even cold; see solve_policy). The TWO-SIDED
+    # |err|<tol check is strictly stronger than the reference's one-sided
+    # one. solve_accel=False + solve_iters=16 + warm_solve=False recovers
+    # the pure reference formulation. K=1 always runs the cold 16-iteration
+    # Newton for bit-parity with the sequential reference search.
+    solve_iters: int = 3
     solve_accel: bool = True
-    warm_solve: bool = False
+    warm_solve: bool = True
+    # multi-leaf sampler prefix-sum formulation: 'matmul' = one triangular
+    # (A,A) MXU contraction at HIGHEST precision + count-based lane
+    # extraction (fastest measured); 'shift' = log-shift Hillis-Steele,
+    # bit-identical to the Pallas sampler kernels (see
+    # _sample_children_multi)
+    sample_cum: str = "matmul"
     tree_dtype: object = jnp.float32  # storage dtype for logits
     # Compact tree bookkeeping: int8 child pointers (valid while n_nodes<=127)
     # and bf16 edge visit counts (exact while total visits<=256, i.e.
@@ -510,32 +517,66 @@ def _sample_children(tree, probs, rands):
     return actions, child
 
 
-def _sample_children_multi(tree, probs, rands):
+def _sample_children_multi(tree, probs, rands, cum_mode="matmul"):
     """K samples per node from one solved probs (B,T,A) -> (acts (K,B,T),
-    child (K,B,T)). The prefix sum runs ONCE as a log-shift (Hillis-Steele)
-    scan — log2(A) shifted adds; jnp.cumsum lowers to an 81-step serial slice
-    loop (~33ms/pass measured) and a triangular f32 matmul costs an extra
-    (B,T,A)x(A,A) contraction. The log-shift dataflow is IDENTICAL to the
-    Pallas node_actions kernels', so the two paths sample bit-equally.
-    The K compare/argmax passes fuse. (Multi-leaf mode only — the K=1 parity
-    path keeps `_sample`.)"""
+    child (K,B,T)). Implements the reference's inverse-CDF draw with
+    positive-probability fallback (mcts/cpp/cuda.cu:157-175), vectorized over
+    all nodes and K draws. (Multi-leaf mode only — the K=1 parity path keeps
+    `_sample`.)
+
+    cum_mode='matmul' (default): the inclusive prefix sum is ONE triangular
+    (B*T,A)x(A,A) contraction at Precision.HIGHEST — MXU work instead of
+    log2(A) full HBM passes (the Hillis-Steele shifts alone measured
+    ~15ms/pass at 16k envs 9x9). Each draw then extracts its lane as a
+    COUNT, `a = clip(#\\{cum < r\\}, first_pos, last_pos)`: one fused
+    compare+reduce per draw instead of mask/min-iota/select chains. The
+    count formulation is exactly equivalent to "first positive-prob lane
+    with cum >= r": count c is the first lane with cum[c] >= r, and a
+    zero-prob lane there would force cum[c] == cum[c-1] < r — impossible
+    except at c=0 with r==0, which the first_pos clamp restores. r beyond
+    the total (float underflow) gives c == A, restored to last_pos —
+    the reference's fallback.
+
+    cum_mode='shift': the log-shift (Hillis-Steele) prefix sum + masked-iota
+    min, bit-identical dataflow to the Pallas node_actions/sampler kernels —
+    kept for kernel lockstep tests and as the formulation those kernels
+    track.
+    """
     K, B, T = rands.shape
     A = probs.shape[-1]
     if K == 1:  # keep K=1 bit-identical to the sequential path's _sample
         a, c = _sample_children(tree, probs, rands[0])
         return a[None], c[None]
+    pos = probs > 0
+    lane = jnp.arange(A)
+    # masked-iota max instead of reverse+argmax: the lane reversal alone cost
+    # ~13ms/pass at 16k envs (rev is a real data-movement op on TPU); this is
+    # the same formulation the Pallas node_actions kernels use
+    last_pos = jnp.max(jnp.where(pos, lane, -1), -1).astype(jnp.int32)  # (B,T)
+
+    if cum_mode == "matmul":
+        incl = (lane[:, None] <= lane[None, :]).astype(probs.dtype)
+        cum = jnp.matmul(probs, incl, precision=jax.lax.Precision.HIGHEST)
+        first_pos = jnp.min(jnp.where(pos, lane, A), -1).astype(jnp.int32)
+        acts, childs = [], []
+        for k in range(K):
+            cnt = jnp.sum(cum < rands[k][:, :, None], -1).astype(jnp.int32)
+            a_k = jnp.clip(cnt, first_pos, last_pos)
+            # child lookup fused into the reduce: children stays int8 into
+            # the fusion (a materialized one-hot contraction re-reads a
+            # (B,T,A) f32 copy per draw)
+            hit = lane == a_k[:, :, None]
+            c_k = jnp.sum(jnp.where(hit, tree.children, 0), -1,
+                          dtype=jnp.int32)
+            acts.append(a_k)
+            childs.append(c_k)
+        return jnp.stack(acts), jnp.stack(childs)
+
     cum = probs
     shift = 1
     while shift < A:
         cum = cum + jnp.pad(cum, ((0, 0), (0, 0), (shift, 0)))[:, :, :A]
         shift *= 2
-    pos = probs > 0
-    lane = jnp.arange(A)
-    # masked-iota max instead of reverse+argmax: the lane reversal alone cost
-    # ~13ms/pass at 16k envs (rev is a real data-movement op on TPU); this is
-    # the same formulation the Pallas node_actions kernels use, so the paths
-    # stay bit-equal
-    last_pos = jnp.max(jnp.where(pos, lane, -1), -1).astype(jnp.int32)  # (B,T)
     children_f = tree.children.astype(jnp.float32)
     BIG = jnp.int32(A + 1)
 
@@ -1120,7 +1161,8 @@ def simulate_multi(tree, eval_fn, key, cfg: MCTSConfig):
             nxts = jnp.moveaxis(c_bkt, 1, 0)
         else:
             with jax.named_scope("sample"):
-                acts, nxts = _sample_children_multi(tree, probs, rands)  # (K,B,T) x2
+                acts, nxts = _sample_children_multi(
+                    tree, probs, rands, cum_mode=cfg.sample_cum)  # (K,B,T) x2
 
     # K pointer chases, folded into the batch axis
     with jax.named_scope("walk"):

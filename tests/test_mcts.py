@@ -6,6 +6,8 @@ distributions over 1024 replicated envs vs analytic probabilities, 3-sigma
 binomial CIs), plus full searches on synthetic games with planted exact
 values via ProxyAgent.
 """
+from types import SimpleNamespace
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -501,10 +503,13 @@ def test_multi_warm_solve_matches_cold_distribution():
     # root visit distributions of warm vs cold searches stay close
     world = hex.Hex.initial(n_envs=64, boardsize=5)
     agent = validation.RandomAgent()
+    # pinned to an ample 6-iteration budget on BOTH sides so each is fully
+    # converged — the comparison isolates warm-starting itself (the default
+    # warm-3 budget relies on the warm start for its convergence margin)
     cfg_w = M.MCTSConfig(n_nodes=17, leaves_per_pass=4, use_pallas=False,
-                         warm_solve=True)
+                         warm_solve=True, solve_iters=6)
     cfg_c = M.MCTSConfig(n_nodes=17, leaves_per_pass=4, use_pallas=False,
-                         warm_solve=False)
+                         warm_solve=False, solve_iters=6)
     key = jax.random.PRNGKey(3)
     t_w = M.search.mcts(world, agent, key, cfg_w)
     t_c = M.search.mcts(world, agent, key, cfg_c)
@@ -516,6 +521,39 @@ def test_multi_warm_solve_matches_cold_distribution():
     dn = np.abs(np.asarray(t_w.n_edge[:, 0], np.float32)
                 - np.asarray(t_c.n_edge[:, 0], np.float32))
     assert dn.mean() < 0.5, dn.mean()
+
+
+def test_sampler_matmul_matches_shift_on_dyadic_probs():
+    # the matmul-cum + count formulation vs the log-shift + masked-min one:
+    # with dyadic (exactly representable) probs both prefix sums are exact,
+    # so the two formulations must agree BITWISE — including the edge cases:
+    # rand == 0 on a zero-prob lane 0, rand exactly on a cum boundary,
+    # rand past an (unnormalized) total, and an all-zero row.
+    B, T, A = 4, 2, 8
+    base = np.zeros((B, T, A), np.float32)
+    base[..., :] = [0.0, 0.25, 0.0, 0.125, 0.5, 0.125, 0.0, 0.0]
+    base[1] = [0.0] * 8  # all-zero rows -> fallback path
+    base[2, :, :] = [0.5, 0.25, 0.125, 0.0625, 0.03125, 0.0, 0.0, 0.0]
+    base[3, :, :] = [0.0, 0.5, 0.25, 0.0, 0.0, 0.0, 0.0, 0.0]  # total 0.75
+    probs = jnp.asarray(base)
+    rng = np.random.default_rng(0)
+    children = jnp.asarray(
+        rng.integers(-1, T, size=(B, T, A)).astype(np.int8))
+    tree = SimpleNamespace(children=children)
+
+    K = 5
+    rands = np.broadcast_to(
+        np.array([0.0, 0.25, 0.5, 0.9375, 0.999], np.float32)[:, None, None],
+        (K, B, T)).copy()
+    rands[4] = rng.uniform(size=(B, T))  # plus generic draws
+    rands = jnp.asarray(rands)
+
+    a_m, c_m = M.search._sample_children_multi(tree, probs, rands,
+                                               cum_mode="matmul")
+    a_s, c_s = M.search._sample_children_multi(tree, probs, rands,
+                                               cum_mode="shift")
+    np.testing.assert_array_equal(np.asarray(a_m), np.asarray(a_s))
+    np.testing.assert_array_equal(np.asarray(c_m), np.asarray(c_s))
 
 
 def test_solve_policy_mixed_contract():

@@ -170,7 +170,7 @@ def test_node_actions_multi_matches_xla(seed, c_puct):
     qb = S._q_bounds(tree)
 
     probs = S.node_probs(tree, qb)
-    a_xla, c_xla = S._sample_children_multi(tree, probs, rands)  # (K,B,T)
+    a_xla, c_xla = S._sample_children_multi(tree, probs, rands, cum_mode="shift")  # (K,B,T)
 
     a_pal, c_pal = PK.node_actions_multi(
         tree, jnp.moveaxis(rands, 0, 1), qb, block_envs=8, interpret=True
@@ -191,10 +191,11 @@ def test_simulate_multi_pallas_nodes_cfg():
     agent = validation.RandomAgent()
     # production solver defaults on BOTH sides: the kernel implements the
     # same safeguarded-Halley rule, so the paths stay in lockstep
-    cfg_x = S.MCTSConfig(n_nodes=13, leaves_per_pass=4, use_pallas=False)
+    cfg_x = S.MCTSConfig(n_nodes=13, leaves_per_pass=4, use_pallas=False,
+                         warm_solve=False, sample_cum="shift")
     cfg_p = S.MCTSConfig(n_nodes=13, leaves_per_pass=4, use_pallas=False,
-                         pallas_nodes="interpret", pallas_nodes_envs=8,
-                         pallas_walk=False)
+                         warm_solve=False, pallas_nodes="interpret",
+                         pallas_nodes_envs=8, pallas_walk=False)
     key = jax.random.PRNGKey(7)
 
     t_x = S.mcts(world, agent, key, cfg_x)
@@ -217,7 +218,7 @@ def test_sample_children_kernel_matches_xla(seed):
     rands = jax.random.uniform(jax.random.PRNGKey(seed), (K, B, T))
     probs = S.node_probs(tree, S._q_bounds(tree))
 
-    a_xla, c_xla = S._sample_children_multi(tree, probs, rands)
+    a_xla, c_xla = S._sample_children_multi(tree, probs, rands, cum_mode="shift")
     a_pal, c_pal = PK.sample_children_multi(
         probs, tree.children, jnp.moveaxis(rands, 0, 1), block_envs=8,
         interpret=True,
@@ -236,7 +237,7 @@ def test_simulate_multi_pallas_sample_cfg():
     world = hex.Hex.initial(n_envs=8, boardsize=5)
     agent = validation.RandomAgent()
     cfg_x = S.MCTSConfig(n_nodes=13, leaves_per_pass=4, use_pallas=False,
-                         pallas_sample=False)
+                         pallas_sample=False, sample_cum="shift")
     cfg_p = S.MCTSConfig(n_nodes=13, leaves_per_pass=4, use_pallas=False,
                          pallas_sample="interpret", pallas_sample_envs=8,
                          pallas_walk=False)
@@ -262,7 +263,7 @@ def test_node_actions_multi_accel_matches_xla(accel, n_iters):
     qb = S._q_bounds(tree)
 
     probs = S.node_probs(tree, qb, n_iters=n_iters, accel=accel)
-    a_xla, c_xla = S._sample_children_multi(tree, probs, rands)
+    a_xla, c_xla = S._sample_children_multi(tree, probs, rands, cum_mode="shift")
 
     a_pal, c_pal = PK.node_actions_multi(
         tree, jnp.moveaxis(rands, 0, 1), qb, block_envs=8, interpret=True,
