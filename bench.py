@@ -59,8 +59,9 @@ def bench_mcts(n_envs, boardsize, width, depth, n_nodes, reps=3):
         boardsize=boardsize, width=width, depth=depth, n_nodes=n_nodes,
         dtype="bfloat16", tree_dtype="bfloat16",
         # batched multi-leaf search: 8 leaves per solve+eval pass — the
-        # fastest measured chip config (scripts/trace_multi.py: ~123ms per
-        # pass at 16k envs = ~1.04M sims/s vs 258k for the sequential walk)
+        # fastest measured chip config (scripts/measure_round2{b,c}.py:
+        # ~75ms/pass at 16k envs under the cold accel-6 solve = ~1.9M sims/s
+        # vs 258k for the sequential walk)
         leaves_per_pass=8 if n_nodes > 16 else 1,
         use_pallas=False if n_nodes > 16 else None,
     )

@@ -55,18 +55,21 @@ class MCTSConfig:
     # backed up once per draw). Tree capacity spends K slots per pass, so
     # n_nodes stays the node budget.
     leaves_per_pass: int = 1
-    # multi-leaf (K>1) solve budget. Default: 3 safeguarded-Halley iterations
-    # warm-started from the previous pass's converged alphas (Tree.alpha) —
-    # between passes only ~K rows' stats move, so warm rows re-converge
-    # immediately and the budget covers the moved ones (real trees converge
-    # in 3 accelerated steps even cold; see solve_policy). The TWO-SIDED
-    # |err|<tol check is strictly stronger than the reference's one-sided
-    # one. solve_accel=False + solve_iters=16 + warm_solve=False recovers
-    # the pure reference formulation. K=1 always runs the cold 16-iteration
-    # Newton for bit-parity with the sequential reference search.
-    solve_iters: int = 3
+    # multi-leaf (K>1) solve budget. Default: 6 COLD safeguarded-Halley
+    # iterations — measured to satisfy the TWO-SIDED |err|<tol check on every
+    # live node row (strictly stronger than the reference's one-sided check).
+    # Warm-starting from the previous pass's alphas (warm_solve=True +
+    # Tree.alpha) is kept as an option but is a measured net LOSS: each pass
+    # moves the stats of every row on the K backup paths (root included), and
+    # a stale alpha can sit just above a new q-pole where safeguarded steps
+    # crawl — warm-3 leaves 20-40% of live rows |err|>=tol (max err ~8) and
+    # even warm-10 is needed to match cold-6, while the unrolled loop pays
+    # n_iters either way. solve_accel=False + solve_iters=16 + warm_solve=
+    # False recovers the pure reference formulation. K=1 always runs the cold
+    # 16-iteration Newton for bit-parity with the sequential reference search.
+    solve_iters: int = 6
     solve_accel: bool = True
-    warm_solve: bool = True
+    warm_solve: bool = False
     # multi-leaf sampler prefix-sum formulation: 'matmul' = one triangular
     # (A,A) MXU contraction at HIGHEST precision + count-based lane
     # extraction (fastest measured); 'shift' = log-shift Hillis-Steele,
@@ -321,10 +324,13 @@ def solve_policy(pi, q, lambda_n, tol=1e-3, n_iters=16, warm_alpha=None,
     plunge alpha into the q-pole. Any overshoot lands on the far (pole-free)
     side and the next plain-Newton step walks back; the two-sided check
     never freezes an overshot row as 'done'. Measured: real multi-leaf trees
-    converge everywhere in 3 accelerated steps (vs ~10-16 monotone Newton);
-    a brutal synthetic sweep (lambda in [5e-4, 1e3], uniform q) converges
-    everywhere in 6 (vs 8 Newton). The K>1 production budget is 6; K=1
-    keeps the bit-exact reference formulation.
+    converge on EVERY live row in 6 cold accelerated steps (vs ~10-16
+    monotone Newton); a brutal synthetic sweep (lambda in [5e-4, 1e3],
+    uniform q) also converges everywhere in 6 (vs 8 Newton). Warm-started
+    rows whose stats moved since the cached solve can land just above a new
+    q-pole and crawl (warm-3 leaves 20-40% of live rows |err|>=tol, warm-10
+    is needed to match cold-6) — hence the cold default. K=1 keeps the
+    bit-exact reference formulation.
     """
     lam = lambda_n[:, None].astype(jnp.float32)
     pi = pi.astype(jnp.float32)
@@ -636,7 +642,7 @@ def _halt_of(tree, nxt):
     return (nxt == -1) | term_child
 
 
-def _walk(acts, nxt, halt, root_terminal):
+def _walk(acts, nxt, halt, root_terminal, max_levels=None):
     """Root->leaf pointer chase, UNROLLED over levels with one-hot lookups.
 
     TPU note: a `lax.while_loop` chase costs ~0.6ms/trip here — each trip's
@@ -644,15 +650,18 @@ def _walk(acts, nxt, halt, root_terminal):
     count is the max depth over all envs. Node slots are allocated in
     simulation order, so node ids STRICTLY INCREASE along any root->leaf path
     — the walk is bounded by T levels and can be fully unrolled, with each
-    level three masked (B,T) reductions.
+    level three masked (B,T) reductions. `max_levels` caps the unroll when
+    the caller knows a tighter depth bound (multi-leaf trees grow <=1 level
+    per pass, so n_passes+1 covers every walk — ~T/L fewer level iterations).
 
-    Returns (parents, actions, halt_child, path) where path (B,T) int32 holds
+    Returns (parents, actions, halt_child, path) where path (B,L) int32 holds
     the visited node per level (-1 past the halting depth) — reused by
     `backup_path`, so descend and backup walk the tree ONCE per sim
     (reference walks it twice: cuda.cu:138-182 then :205-236). Path levels
     form a contiguous prefix per env: path[b,l] >= 0 iff l <= depth(b).
     """
     B, T = acts.shape
+    L = T if max_levels is None else min(T, max_levels)
     iota = jnp.arange(T)[None, :]
 
     t = jnp.zeros((B,), jnp.int32)
@@ -662,7 +671,7 @@ def _walk(acts, nxt, halt, root_terminal):
     halt_child = jnp.full((B,), -1, jnp.int32)
     levels = []
 
-    for _ in range(T):
+    for _ in range(L):
         onehot = (iota == t[:, None]) & active[:, None]  # (B,T)
         a_t = jnp.where(onehot, acts, 0).sum(1)
         c_t = jnp.where(onehot, nxt, 0).sum(1)
@@ -675,14 +684,16 @@ def _walk(acts, nxt, halt, root_terminal):
         active = active & ~h_t
         t = jnp.where(active, c_t, t)
 
-    path = jnp.stack(levels, axis=1)  # (B,T)
+    path = jnp.stack(levels, axis=1)  # (B,L)
     return parents, actions, halt_child, path
 
 
-def _walk_flat(terminal, acts, nxt, cfg):
+def _walk_flat(terminal, acts, nxt, cfg, max_levels=None):
     """The pointer chase on flat (B',T) arrays (Pallas kernel when cfg
     enables it, else the XLA unrolled walk) -> (parents, actions, halt_child,
-    path). Rows are independent: multi-leaf callers fold K into B'."""
+    path). Rows are independent: multi-leaf callers fold K into B'. The path
+    record has min(T, max_levels) levels on the XLA route, T on the kernel
+    route (callers truncate)."""
     B = acts.shape[0]
     if _pallas_walk_enabled(cfg, B):
         from . import pallas_kernels
@@ -695,7 +706,7 @@ def _walk_flat(terminal, acts, nxt, cfg):
         )
     term_child = jnp.take_along_axis(terminal, jnp.clip(nxt, 0), axis=1)
     halt = (nxt == -1) | term_child
-    return _walk(acts, nxt, halt, terminal[:, 0])
+    return _walk(acts, nxt, halt, terminal[:, 0], max_levels=max_levels)
 
 
 def _walk_any(tree, acts, nxt, cfg):
@@ -1164,16 +1175,23 @@ def simulate_multi(tree, eval_fn, key, cfg: MCTSConfig):
                 acts, nxts = _sample_children_multi(
                     tree, probs, rands, cum_mode=cfg.sample_cum)  # (K,B,T) x2
 
-    # K pointer chases, folded into the batch axis
+    # K pointer chases, folded into the batch axis. Tree depth grows <=1 per
+    # pass (all K walks see the same pre-pass tree), so no walk over mcts()'s
+    # n_passes calls is longer than n_passes (+1 margin): the XLA walk unrolls
+    # only L_cap levels instead of T, and the path record shrinks every
+    # backup contraction's level axis by ~T/L
+    n_passes = -(-(cfg.n_nodes - 1) // K)
+    L_cap = min(T, n_passes + 1)
     with jax.named_scope("walk"):
         term_flat = jnp.broadcast_to(tree.terminal[None], (K, B, T)).reshape(K * B, T)
         p_f, a_f, h_f, path_f = _walk_flat(
-            term_flat, acts.reshape(K * B, T), nxts.reshape(K * B, T), cfg
+            term_flat, acts.reshape(K * B, T), nxts.reshape(K * B, T), cfg,
+            max_levels=L_cap,
         )
     parents = p_f.reshape(K, B)
     actions = a_f.reshape(K, B)
     halt_child = h_f.reshape(K, B)
-    paths = path_f.reshape(K, B, T)
+    paths = path_f.reshape(K, B, path_f.shape[-1])[:, :, :L_cap]
 
     # dedup: walks halting at the same (parent, action) edge collapse — only
     # the FIRST writes; later ones redirect their leaf to the first's slot
@@ -1247,13 +1265,8 @@ def simulate_multi(tree, eval_fn, key, cfg: MCTSConfig):
         )
 
     n_per_visit = tree.w.shape[-1] if cfg.backup_n == "seats" else 1
-    # tree depth grows <=1 per pass, so over mcts()'s n_passes calls no walk
-    # is ever longer than n_passes (+1 margin) — truncating the path record
-    # shrinks every backup contraction's level axis by ~T/L
-    n_passes = -(-(cfg.n_nodes - 1) // K)
-    L_cap = min(T, n_passes + 1)
     with jax.named_scope("backup"):
-        return backup_paths(tree, paths[:, :, :L_cap], acts, leaves, n_per_visit)
+        return backup_paths(tree, paths, acts, leaves, n_per_visit)
 
 
 def root(tree):

@@ -84,9 +84,9 @@ class TrainConfig:
     # batched MCTS: K leaves per pass sharing one solve + one K*B net eval
     # (see MCTSConfig.leaves_per_pass; 1 = reference-exact sequential search)
     leaves_per_pass: int = 1
-    solve_iters: int = 3  # K>1 solve budget (see MCTSConfig)
+    solve_iters: int = 6  # K>1 solve budget (see MCTSConfig)
     solve_accel: bool = True  # safeguarded-Halley acceleration
-    warm_solve: bool = True  # K>1 warm-start from the previous pass's alpha
+    warm_solve: bool = False  # K>1 warm-start (measured net loss, see MCTSConfig)
     sample_cum: str = "matmul"  # K>1 sampler prefix sum (see MCTSConfig)
 
     @property

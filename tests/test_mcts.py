@@ -579,3 +579,22 @@ def test_solve_policy_mixed_contract():
         n_iters=6, accel=True)
     s_b = np.asarray(probs_b.sum(-1))
     assert (np.abs(s_b - 1.0) < 2e-3).all(), (s_b.min(), s_b.max())
+
+
+def test_multi_default_solve_converges_on_live_rows():
+    # The production K>1 defaults (cold accel solve_iters=6) must satisfy the
+    # TWO-SIDED |err| < tol convergence contract on every reachable node row
+    # of a real multi-leaf tree — the headline claim solve_policy makes.
+    # (Warm-3 measurably violates this on 20-40% of live rows; see MCTSConfig.)
+    world = hex.Hex.initial(n_envs=128, boardsize=5)
+    agent = validation.RandomAgent()
+    cfg = M.MCTSConfig(n_nodes=33, leaves_per_pass=8, use_pallas=False)
+    tree = M.search.mcts(world, agent, jax.random.PRNGKey(2), cfg)
+
+    probs = M.search.node_probs(
+        tree, M.search._q_bounds(tree),
+        n_iters=cfg.solve_iters, accel=cfg.solve_accel)
+    err = np.abs(np.asarray(probs.sum(-1)) - 1.0)  # (B,T)
+    T = err.shape[1]
+    live = (np.arange(T)[None, :] < int(tree.sim)) & ~np.asarray(tree.terminal)
+    assert (err[live] < 1e-3).all(), err[live].max()
