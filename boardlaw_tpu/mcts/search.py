@@ -564,19 +564,19 @@ def _sample_children_multi(tree, probs, rands, cum_mode="matmul"):
         incl = (lane[:, None] <= lane[None, :]).astype(probs.dtype)
         cum = jnp.matmul(probs, incl, precision=jax.lax.Precision.HIGHEST)
         first_pos = jnp.min(jnp.where(pos, lane, A), -1).astype(jnp.int32)
-        acts, childs = [], []
-        for k in range(K):
-            cnt = jnp.sum(cum < rands[k][:, :, None], -1).astype(jnp.int32)
-            a_k = jnp.clip(cnt, first_pos, last_pos)
-            # child lookup fused into the reduce: children stays int8 into
-            # the fusion (a materialized one-hot contraction re-reads a
-            # (B,T,A) f32 copy per draw)
-            hit = lane == a_k[:, :, None]
-            c_k = jnp.sum(jnp.where(hit, tree.children, 0), -1,
-                          dtype=jnp.int32)
-            acts.append(a_k)
-            childs.append(c_k)
-        return jnp.stack(acts), jnp.stack(childs)
+        # all K counts from ONE stacked compare+reduce — a per-k loop emits K
+        # reduce kernels that each re-read the (B,T,A) f32 cum tensor (545MB
+        # at the 16k-env flagship); stacked, XLA reads it once per fusion
+        # (chip-verified bit-identical to the loop, scripts/micro_bench7.py)
+        cnt = jnp.sum(cum[None] < rands[..., None], -1).astype(jnp.int32)
+        acts = jnp.clip(cnt, first_pos[None], last_pos[None])  # (K,B,T)
+        # child lookups stay per-draw compare+reduce over the int8 children
+        # (8 re-reads of an int8 tensor are cheap; a materialized one-hot
+        # contraction would re-read a (B,T,A) f32 copy per draw)
+        hit = lane == acts[:, :, :, None]  # (K,B,T,A)
+        childs = jnp.sum(jnp.where(hit, tree.children[None], 0), -1,
+                         dtype=jnp.int32)
+        return acts, childs
 
     cum = probs
     shift = 1
