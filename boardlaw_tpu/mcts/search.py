@@ -1117,6 +1117,12 @@ def simulate_multi(tree, eval_fn, key, cfg: MCTSConfig):
     already diversifies them — no virtual loss needed), duplicate draws of
     one unexpanded edge collapse to one node expansion backed up once per
     draw, and a pass consumes K node slots regardless of duplicates.
+
+    CONTRACT: at most ceil((n_nodes-1)/K) calls per tree (what `mcts()`
+    issues). The walk unrolls only L_cap = n_passes+1 levels — tree depth
+    grows <=1 per pass, so that bound is exact within the contract, but a
+    deeper tree from EXTRA calls would silently truncate the walk at an
+    internal node and overwrite one of its child edges on expansion.
     """
     K = cfg.leaves_per_pass
     B, T, A = tree.children.shape

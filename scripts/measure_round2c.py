@@ -50,18 +50,22 @@ def main():
     def eval_fn(w, key=None):
         return model.apply(params, w.obs, w.valid, w.seats)
 
-    @jax.jit
-    def build_tree(world, key):
-        k_init, k_sims = jax.random.split(key)
-        tree = search.build(world, mcfg)
-        tree = search.initialize(tree, eval_fn(world, None), k_init, mcfg, world.valid)
+    def make_build_tree(m):
+        @jax.jit
+        def build_tree(world, key):
+            k_init, k_sims = jax.random.split(key)
+            tree = search.build(world, m)
+            tree = search.initialize(tree, eval_fn(world, None), k_init, m, world.valid)
 
-        def body(tree, k):
-            return search.simulate_multi(tree, eval_fn, k, mcfg), None
+            def body(tree, k):
+                return search.simulate_multi(tree, eval_fn, k, m), None
 
-        tree, _ = jax.lax.scan(body, tree, jax.random.split(k_sims, 3))
-        return tree
+            tree, _ = jax.lax.scan(body, tree, jax.random.split(k_sims, 3))
+            return tree
 
+        return build_tree
+
+    build_tree = make_build_tree(mcfg)
     tree = build_tree(world, jax.random.PRNGKey(1))
     jax.block_until_ready(tree.n)
     print(json.dumps({"name": "tree_built", "n_envs": B, "K": K}), flush=True)
@@ -77,10 +81,15 @@ def main():
             return tree.n
         return f
 
-    # (a) warm iteration ladder: time + convergence
+    # (a) warm iteration ladder: time + convergence. warm_solve must be set
+    # on the config (TrainConfig defaults it False since round 2) and the
+    # probe tree built UNDER that config so tree.alpha exists — otherwise
+    # both the timing and err_frac silently measure cold solves (ADVICE r2).
     for iters in (3, 4, 5):
-        c2 = dataclasses.replace(cfg, solve_iters=iters)
-        _, ms = timed(f"4 passes warm{iters}", passes_fn(c2), tree,
+        c2 = dataclasses.replace(cfg, warm_solve=True, solve_iters=iters)
+        warm_tree = make_build_tree(c2.mcts_config())(world, jax.random.PRNGKey(1))
+        assert warm_tree.alpha is not None, "warm probe tree lost its alpha"
+        _, ms = timed(f"4 passes warm{iters}", passes_fn(c2), warm_tree,
                       jax.random.PRNGKey(3))
         if ms:
             print(json.dumps({"name": f"sims_per_s warm{iters}",
@@ -97,14 +106,19 @@ def main():
             p, _ = search.node_probs(tree, search._q_bounds(tree),
                                      warm_alpha=tree.alpha, n_iters=iters,
                                      accel=True, return_alpha=True)
-            return jnp.mean((jnp.abs(p.sum(-1) - 1.0) >= 1e-3).astype(jnp.float32))
+            # fraction of LIVE rows (allocated, non-terminal) unconverged —
+            # averaging over all (B,T) slots would dilute with empty rows
+            T = tree.n.shape[1]
+            live = (jnp.arange(T)[None, :] < tree.sim) & ~tree.terminal
+            bad = (jnp.abs(p.sum(-1) - 1.0) >= 1e-3) & live
+            return bad.sum() / jnp.maximum(live.sum(), 1)
 
-        t2 = build_tree(world, jax.random.PRNGKey(11))
+        t2 = make_build_tree(m2)(world, jax.random.PRNGKey(11))
         fracs = []
         for i in range(4):
             fracs.append(round(float(err_frac(t2)), 5))
             t2 = one_pass(t2, jax.random.PRNGKey(100 + i))
-        print(json.dumps({"name": f"warm{iters} |err|>=tol frac per pass",
+        print(json.dumps({"name": f"warm{iters} |err|>=tol frac per pass (live rows)",
                           "value": fracs}), flush=True)
 
     # (b) walk variants under the warm-3 default

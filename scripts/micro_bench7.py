@@ -57,10 +57,10 @@ def main():
         # one multi-moment reduction: stack (1, r, r^2) on a new axis so XLA
         # reads lampi/q once and emits all three sums from one loop
         m = (terms[:, :, None] * jnp.stack(
-            [jnp.ones_like(r), r, r], -1)).sum(1)  # (BT, 3): s, -gish, hish
+            [jnp.ones_like(r), r, r * r], -1)).sum(1)  # (BT, 3): s, -g, h/2
         s = m[:, 0]
         g = -m[:, 1]
-        h = 2.0 * (m[:, 2] * 1.0)  # placeholder same math shape
+        h = 2.0 * m[:, 2]
         err = s - 1.0
         t = err * h / (2.0 * g * g)
         step = err / g

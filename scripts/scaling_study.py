@@ -49,6 +49,10 @@ def train(args):
             storer="flops",
             max_steps=args.steps,
             arena=False,
+            dtype=args.dtype,
+            tree_dtype=args.dtype,
+            leaves_per_pass=args.k,
+            use_pallas=False if args.k > 1 else None,
         )
         done.append(run)
         print(
@@ -163,6 +167,9 @@ def main():
     p.add_argument("--envs", type=int, default=1024)
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--sizes", default=DEFAULT_SIZES)
+    p.add_argument("--k", type=int, default=1,
+                   help="leaves_per_pass for the training search (8 = fast)")
+    p.add_argument("--dtype", default="float32")
     p.add_argument("--envs-per", type=int, default=4)
     p.add_argument("--league-envs", type=int, default=1024)
     args = p.parse_args()

@@ -30,14 +30,14 @@ def main():
 
     t0 = time.time()
     state, aux = train_step(state)
-    jax.block_until_ready(aux["loss.total"])
+    float(aux["loss.total"])  # host fetch: the only true sync on axon
     print(f"first step (compile) {time.time()-t0:.0f}s", flush=True)
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         state, aux = train_step(state)
-        jax.block_until_ready(aux["loss.total"])
+        float(aux["loss.total"])
         times.append(time.perf_counter() - t0)
     step_s = min(times)
     print(json.dumps({
