@@ -76,6 +76,17 @@ class MCTSConfig:
     # bit-identical to the Pallas sampler kernels (see
     # _sample_children_multi)
     sample_cum: str = "matmul"
+    # Triangular passes: pass p of the multi-leaf search operates on a
+    # sliced subtree of R_p = 1 + (p+1)*K rows instead of the full T — the
+    # solve/sample/walk/backup streams shrink from rectangular (n_passes * T
+    # rows) to triangular (sum R_p ~ T/2 on average), a ~2x bandwidth cut on
+    # the node-wise stages. Distribution-identical to the scan path (same
+    # ops over the same live rows; only the rand stream's shape differs).
+    # Unrolls the pass loop (one compile per distinct R_p instead of one
+    # scan body), so compiles are slower; the Pallas walk/sampler kernels
+    # default OFF in this mode (8 Mosaic variants are not worth it — the
+    # XLA walk caps at p+2 levels here).
+    grow_passes: bool = False
     tree_dtype: object = jnp.float32  # storage dtype for logits
     # Compact tree bookkeeping: int8 child pointers (valid while n_nodes<=127)
     # and bf16 edge visit counts (exact while total visits<=256, i.e.
@@ -1106,7 +1117,7 @@ def simulate(tree, eval_fn, key, cfg: MCTSConfig):
     return backup(tree, leaves, n_per_visit)
 
 
-def simulate_multi(tree, eval_fn, key, cfg: MCTSConfig):
+def simulate_multi(tree, eval_fn, key, cfg: MCTSConfig, max_levels=None):
     """One batched-MCTS pass: K = cfg.leaves_per_pass leaves descend, expand
     and back up together, sharing ONE all-node policy solve and ONE net eval
     over the K*B leaf worlds (the amortization the reference cannot do — its
@@ -1187,7 +1198,9 @@ def simulate_multi(tree, eval_fn, key, cfg: MCTSConfig):
     # only L_cap levels instead of T, and the path record shrinks every
     # backup contraction's level axis by ~T/L
     n_passes = -(-(cfg.n_nodes - 1) // K)
-    L_cap = min(T, n_passes + 1)
+    # grow mode tightens this per pass: at pass p the tree is at most p+1
+    # deep, so p+2 levels suffice (same +1 margin as the n_passes bound)
+    L_cap = min(T, max_levels if max_levels is not None else n_passes + 1)
     with jax.named_scope("walk"):
         term_flat = jnp.broadcast_to(tree.terminal[None], (K, B, T)).reshape(K * B, T)
         p_f, a_f, h_f, path_f = _walk_flat(
@@ -1292,6 +1305,34 @@ def n_leaves(tree):
     return ((tree.children == -1).all(-1) & (tree.parents != -1)).sum(-1)
 
 
+_T_AXIS_FIELDS = ("children", "parents", "relation", "seats", "terminal",
+                  "rewards", "logits", "v", "n", "w", "n_edge", "w_edge")
+
+
+def _slice_tree(tree, R):
+    """First-R-rows view of the tree (node axis). The growing-pass mode of
+    `mcts` runs each multi-leaf pass on exactly the rows that can be live,
+    shrinking every node-wise stream by T/R."""
+    upd = {f: getattr(tree, f)[:, :R] for f in _T_AXIS_FIELDS}
+    upd["worlds"] = jax.tree.map(lambda x: x[:, :R], tree.worlds)
+    if tree.alpha is not None:
+        upd["alpha"] = tree.alpha[:, :R]
+    return tree.replace(**upd)
+
+
+def _write_back(full, sub):
+    """Write a sliced subtree's rows back over the full tree's leading rows."""
+    def upd(dst, src):
+        return jax.lax.dynamic_update_slice(dst, src, (0,) * dst.ndim)
+
+    u = {f: upd(getattr(full, f), getattr(sub, f)) for f in _T_AXIS_FIELDS}
+    u["worlds"] = jax.tree.map(upd, full.worlds, sub.worlds)
+    if full.alpha is not None:
+        u["alpha"] = upd(full.alpha, sub.alpha)
+    u["sim"] = sub.sim
+    return full.replace(**u)
+
+
 def mcts(world, eval_fn, key, cfg: MCTSConfig):
     """Full search: initialize the root, then n_nodes-1 node expansions as
     one `lax.scan` (reference mcts/__init__.py:200-207) — one leaf per sim,
@@ -1303,6 +1344,27 @@ def mcts(world, eval_fn, key, cfg: MCTSConfig):
     tree = initialize(tree, decisions, k_init, cfg, world.valid)
 
     K = cfg.leaves_per_pass
+    if K > 1 and cfg.grow_passes:
+        # triangular passes: pass p touches only rows [0, 1+(p+1)K) — a
+        # Python loop over distinct static shapes instead of a scan. Pallas
+        # kernels default off here (per-R Mosaic variants aren't worth it);
+        # explicit True/interpret still forces them.
+        gcfg = replace(
+            cfg,
+            pallas_walk=bool(cfg.pallas_walk) if cfg.pallas_walk is not None else False,
+            pallas_sample=bool(cfg.pallas_sample) if cfg.pallas_sample is not None else False,
+        ) if (cfg.pallas_walk is None or cfg.pallas_sample is None) else cfg
+        T = tree.children.shape[1]
+        n_passes = -(-(cfg.n_nodes - 1) // K)
+        for p in range(n_passes):
+            R = min(T, 1 + (p + 1) * K)
+            sub = _slice_tree(tree, R)
+            sub = simulate_multi(
+                sub, eval_fn, jax.random.fold_in(k_sims, p), gcfg,
+                max_levels=p + 2,
+            )
+            tree = _write_back(tree, sub)
+        return tree
     if K > 1:
         n_passes = -(-(cfg.n_nodes - 1) // K)
 

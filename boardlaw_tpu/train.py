@@ -85,6 +85,7 @@ class TrainConfig:
     # (see MCTSConfig.leaves_per_pass; 1 = reference-exact sequential search)
     leaves_per_pass: int = 1
     solve_iters: int = 6  # K>1 solve budget (see MCTSConfig)
+    grow_passes: bool = False  # triangular multi-leaf passes (see MCTSConfig)
     solve_accel: bool = True  # safeguarded-Halley acceleration
     warm_solve: bool = False  # K>1 warm-start (measured net loss, see MCTSConfig)
     sample_cum: str = "matmul"  # K>1 sampler prefix sum (see MCTSConfig)
@@ -109,6 +110,7 @@ class TrainConfig:
             pallas_sample=self.pallas_sample,
             pallas_sample_envs=self.pallas_sample_envs,
             leaves_per_pass=self.leaves_per_pass,
+            grow_passes=self.grow_passes,
             solve_iters=self.solve_iters,
             solve_accel=self.solve_accel,
             warm_solve=self.warm_solve,

@@ -498,6 +498,78 @@ def test_solve_policy_warm_start():
     np.testing.assert_array_equal(np.asarray(probs_z), np.asarray(probs0))
 
 
+def test_grow_passes_invariants():
+    # triangular-pass mode: same structural invariants as the scan path
+    world = hex.Hex.initial(n_envs=32, boardsize=5)
+    agent = validation.RandomAgent()
+    cfg = M.MCTSConfig(n_nodes=25, leaves_per_pass=4, use_pallas=False,
+                       grow_passes=True)
+    tree = jax.jit(lambda w, k: M.search.mcts(w, agent, k, cfg))(
+        world, jax.random.PRNGKey(5))
+
+    children = np.asarray(tree.children, np.int32)
+    parents = np.asarray(tree.parents)
+    relation = np.asarray(tree.relation)
+    n_edge = np.asarray(tree.n_edge, np.float32)
+    B, T, A = children.shape
+    assert T == 1 + 4 * 6
+    assert int(tree.sim) == T
+
+    for b in range(8):
+        for t in range(T):
+            for a in range(A):
+                c = children[b, t, a]
+                if c >= 0:
+                    assert parents[b, c] == t, (b, t, a, c)
+                    assert relation[b, c] == a
+        assert n_edge[b, 0].sum() > 0
+
+
+def test_grow_passes_planted_game():
+    # triangular-pass mode still solves the planted 3x3 position
+    world = hex.from_string("""
+    wb.
+    bw.
+    wb.
+    """)
+    agent = validation.RandomAgent()
+    cfg = M.MCTSConfig(n_nodes=63, c_puct=1.0, noise_eps=0.0,
+                       leaves_per_pass=4, use_pallas=False, grow_passes=True)
+    run = jax.jit(lambda w, k: M.root(M.mcts(w, agent, k, cfg)))
+    r = run(world, jax.random.PRNGKey(3))
+    probs = np.exp(np.asarray(r["logits"][0]))
+    assert probs[2] > probs[8] and probs[5] > probs[7]
+
+
+def test_grow_passes_depth_value():
+    # planted exact value recovered with K=2 triangular passes
+    world = validation.All.initial(n_envs=2, length=3)
+    agent = validation.ProxyAgent()
+    cfg = M.MCTSConfig(n_nodes=15, noise_eps=0.0, leaves_per_pass=2,
+                       use_pallas=False, grow_passes=True)
+    tree = jax.jit(lambda w, k: M.search.mcts(w, agent, k, cfg))(
+        world, jax.random.PRNGKey(1))
+    r = M.root(tree)
+    np.testing.assert_allclose(np.asarray(r["v"]), [[1 / 8], [1 / 8]], atol=1e-5)
+
+
+def test_grow_passes_root_close_to_scan():
+    # grow vs scan: same algorithm, different rand-stream shapes — the root
+    # visit distributions over a big batch must agree closely
+    world = hex.Hex.initial(n_envs=512, boardsize=3)
+    agent = validation.RandomAgent()
+    base = dict(n_nodes=9, leaves_per_pass=4, use_pallas=False, noise_eps=0.0)
+    r_scan = jax.jit(lambda w, k: M.root(M.mcts(
+        w, agent, k, M.MCTSConfig(**base))))(world, jax.random.PRNGKey(2))
+    r_grow = jax.jit(lambda w, k: M.root(M.mcts(
+        w, agent, k, M.MCTSConfig(grow_passes=True, **base))))(
+        world, jax.random.PRNGKey(2))
+    p_scan = np.exp(np.asarray(r_scan["logits"], np.float64)).mean(0)
+    p_grow = np.exp(np.asarray(r_grow["logits"], np.float64)).mean(0)
+    # batch-mean root policies: 3-sigma-ish band for 512 envs
+    np.testing.assert_allclose(p_scan, p_grow, atol=0.08)
+
+
 def test_multi_warm_solve_matches_cold_distribution():
     # warm_solve changes converged alphas only within the err<tol contract:
     # root visit distributions of warm vs cold searches stay close
