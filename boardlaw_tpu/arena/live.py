@@ -189,11 +189,13 @@ class RollingArena:
         return rel
 
 
-def _loop(run, interval):
+def _loop(run, interval, ladder="rollout"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    arena = RollingArena(run)
+    arena = RollingArena(
+        run, ladder=external_ladder() if ladder == "external" else None
+    )
     # logs.to_run gives the child its own logs.{n}.txt in the run dir, so
     # arena lines are visible to `logs.from_run`/`follow` (reference
     # live/__init__.py:195 enters both contexts)
@@ -206,11 +208,16 @@ def _loop(run, interval):
             time.sleep(interval)
 
 
-def run(run_name, interval=15):
+def run(run_name, interval=15, ladder="rollout"):
     """Spawn the background arena process (reference live/__init__.py:193-209).
     The child pins itself to CPU so it never contends for the training chip.
-    Returns the Process; call .terminate() when training ends."""
+    `ladder="external"` evaluates against the GTP-engine randomization ladder
+    (MoHex when present, bundled gtphex otherwise) — the reference's
+    config-4 external-opponent arena. Returns the Process; call .terminate()
+    when training ends."""
     ctx = mp.get_context("spawn")
-    p = ctx.Process(target=_loop, args=(runs.resolve(run_name), interval), daemon=True)
+    p = ctx.Process(
+        target=_loop, args=(runs.resolve(run_name), interval, ladder), daemon=True
+    )
     p.start()
     return p

@@ -412,6 +412,7 @@ def run(
     max_steps=None,
     resume=None,
     arena=False,
+    arena_ladder="rollout",
     n_devices=None,
     **overrides,
 ):
@@ -485,7 +486,7 @@ def run(
     if arena:
         from .arena import live as arena_live
 
-        live = arena_live.run(run_name)
+        live = arena_live.run(run_name, ladder=arena_ladder)
 
     try:
         with logs.to_run(run_name), stats.to_run(run_name):

@@ -90,6 +90,17 @@ def test_evaluate_compact_buckets_uneven():
     assert min(calls) < B
 
 
+def test_external_ladder_builds_gtp_agents():
+    # with MoHex absent the ladder must fall back to the bundled gtphex
+    # engine and expose the reference's randomization rungs
+    from boardlaw_tpu import gtp_engine, mohex
+
+    ladder = live.external_ladder()
+    assert set(ladder) == {"ext-1", "ext-0.75", "ext-0.5", "ext-0"}
+    if not mohex.available():
+        assert all(a._command == gtp_engine.command() for a in ladder.values())
+
+
 def test_league_accounting():
     # 3 agents, every ordered pair plays exactly n_envs_per games
     agents = {name: _random_agent() for name in ["a", "b", "c"]}
