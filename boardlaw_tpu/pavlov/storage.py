@@ -40,7 +40,10 @@ def _atomic_write(path, payload: bytes):
 
 
 def _to_host(tree):
-    return jax.tree.map(np.asarray, tree)
+    # one batched device_get instead of a per-leaf np.asarray loop: on the
+    # remote-tunnel backend every transfer pays RTT, and per-leaf fetches
+    # from a long-lived process have been observed to wedge for minutes
+    return jax.device_get(tree)
 
 
 def state_bytes(tree):

@@ -76,9 +76,15 @@ def evaluate(args):
         print(f"[scaling] only {len(ags)} agents registered — train first")
         return
 
+    kwargs = {}
+    if args.test_k > 1:
+        # league searches with the batched K-leaf search: the evaluation is
+        # self-consistent (every agent searches the same way), and the league
+        # finishes ~5x faster on chip than the sequential K=1 walk
+        kwargs = {"leaves_per_pass": args.test_k, "use_pallas": False}
     agents = {}
     for aid, row in ags.iterrows():
-        a = common.agent(row.run, int(row.idx))
+        a = common.agent(row.run, int(row.idx), **kwargs)
         if a is not None:
             agents[int(aid)] = a
     print(f"[scaling] league of {len(agents)} agents", flush=True)
@@ -201,6 +207,8 @@ def main():
                    help="leaves_per_pass for the training search (8 = fast)")
     p.add_argument("--dtype", default="float32")
     p.add_argument("--envs-per", type=int, default=4)
+    p.add_argument("--test-k", type=int, default=1,
+                   help="league-evaluation search leaves_per_pass")
     p.add_argument("--league-envs", type=int, default=1024)
     args = p.parse_args()
 
