@@ -53,6 +53,7 @@ def train(args):
             tree_dtype=args.dtype,
             leaves_per_pass=args.k,
             use_pallas=False if args.k > 1 else None,
+            seed=args.seed,
         )
         done.append(run)
         print(
@@ -209,6 +210,8 @@ def main():
     p.add_argument("--envs-per", type=int, default=4)
     p.add_argument("--test-k", type=int, default=1,
                    help="league-evaluation search leaves_per_pass")
+    p.add_argument("--seed", type=int, default=0,
+                   help="TrainConfig seed (for seed-repeat rungs)")
     p.add_argument("--league-envs", type=int, default=1024)
     args = p.parse_args()
 
