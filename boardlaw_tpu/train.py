@@ -423,7 +423,17 @@ def run(
     axis over a dp mesh of the first n local devices (params replicate, one
     psum gradient reduction per step — see parallel/mesh.py); the reference
     has no in-run analog (it scales by whole runs per GPU).
+
+    Boardsizes >= 7 default to the batched K=8 multi-leaf search — validated
+    Elo-equivalent to K=1 at equal sample budget (results/k_parity: 45.9%
+    head-to-head over 512 games, within the 2-sigma band) and ~6x faster
+    (flagship 32k-env step 6.65s -> 1.08s). Pass leaves_per_pass=1 for the
+    reference-exact sequential search.
     """
+    if boardsize >= 7:
+        overrides.setdefault("leaves_per_pass", 8)
+        if overrides["leaves_per_pass"] > 1:
+            overrides.setdefault("use_pallas", False)
     cfg = TrainConfig(
         boardsize=boardsize,
         width=width,
