@@ -26,7 +26,8 @@ def db(tmp_path, monkeypatch):
 
 def _args(**kw):
     base = dict(boardsize=3, envs=8, steps=2, sizes="4:1,8:1",
-                envs_per=2, league_envs=8)
+                envs_per=2, league_envs=8, k=1, dtype="float32",
+                test_k=1, seed=0)
     base.update(kw)
     return argparse.Namespace(**base)
 
