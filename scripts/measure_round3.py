@@ -43,9 +43,11 @@ def main():
         "scan-xla": dataclasses.replace(base, pallas_walk=False,
                                         pallas_sample=False),
         "grow": dataclasses.replace(base, grow_passes=True),
+        # walk kernel only: the K-sampler kernel measured 89ms/pass vs the
+        # XLA solve+sample's 24ms (see MCTSConfig.pallas_nodes note), so the
+        # interesting grow combination is triangular passes + early-exit walk
         "grow-pallas": dataclasses.replace(base, grow_passes=True,
-                                           pallas_walk=True,
-                                           pallas_sample=True),
+                                           pallas_walk=True),
     }
 
     for name in WHICH:
