@@ -72,6 +72,124 @@ def _solve_policy_rows(pi, q, lam, n_iters=16, tol=1e-3):
     return lampi / (alpha - q)
 
 
+def _solve_probs_kernel(
+    logits_ref, ne_ref, we_ref, cp_ref, qb_ref, probs_ref,
+    *, A, n_iters, accel, tol=1e-3,
+):
+    """The regularized-policy solve alone, on flattened (rows, A) blocks —
+    rows = env*node pairs, every iteration VMEM-resident.
+
+    Why this shape wins where `node_actions_multi` lost: the (E, T, A)
+    solve+sample kernel pays per-K sampling loops and tiles poorly (T=65
+    sublanes, A=81 lanes both pad), while the solve itself is row-independent
+    — flattening to (rows, A) gives Mosaic dense (R, A) tiles and the whole
+    6-iteration Halley chain runs on one VMEM residency. The XLA formulation
+    of the same math re-streams the (B,T,A) intermediates through HBM every
+    iteration because the lane reductions break fusion (device trace: solve =
+    27.6ms/pass of a 60ms pass at 16k envs 9x9, vs a 6.2ms roofline); here
+    HBM traffic is one read of logits/n_edge/w_edge and one write of probs.
+
+    Inputs stream at their STORAGE dtypes (bf16 n_edge under the compact
+    tree) and upcast in VMEM — same values the XLA path sees after its own
+    astype(f32). Same iteration rule as search.solve_policy (safeguarded
+    Halley under accel=True), so results match the XLA path to f32 roundoff;
+    sampling stays outside (the matmul-cum sampler needs HIGHEST-precision
+    MXU, which in-kernel dot_general does not provide).
+    """
+    pi = jnp.exp(logits_ref[:, :].astype(jnp.float32))
+    ne = ne_ref[:, :].astype(jnp.float32)
+    we = we_ref[:, :].astype(jnp.float32)
+    cp = cp_ref[:, :].astype(jnp.float32)  # (R,1)
+    qlo = qb_ref[0, 0]
+    qhi = qb_ref[0, 1]
+
+    expanded = ne > 0
+    q = jnp.where(expanded, (we / (ne + 1e-4) - qlo) / (qhi - qlo + 1e-4), 0.0)
+    counts = jnp.where(expanded, ne, 1.0)
+    N = counts.sum(-1, keepdims=True)  # (R,1)
+    lam = cp * N / (N + A)
+
+    # identical formulation to search.solve_policy (hoisted numerator, one
+    # reciprocal per iteration, safeguarded-Halley acceleration)
+    lampi = lam * pi
+    gap = jnp.maximum(lampi, 1e-4)
+    alpha = jnp.max(q + gap, axis=-1, keepdims=True)
+    floor = jnp.max(q, axis=-1, keepdims=True) + 1e-6
+    done = jnp.zeros_like(alpha, dtype=jnp.bool_)
+    for _ in range(n_iters):
+        r = 1.0 / (alpha - q)
+        terms = lampi * r
+        s = terms.sum(-1, keepdims=True)
+        g = -(terms * r).sum(-1, keepdims=True)
+        err = s - 1.0
+        step = err / g
+        if accel:
+            done = done | (jnp.abs(err) < tol)
+            h = 2.0 * (terms * r * r).sum(-1, keepdims=True)
+            t = err * h / (2.0 * g * g)
+            ok = (err > 0) & (t < 0.75)
+            step = jnp.where(ok, step / jnp.maximum(1.0 - t, 0.25), step)
+        else:
+            done = done | (err < tol)
+        alpha = jnp.maximum(alpha - jnp.where(done, 0.0, step), floor)
+
+    probs_ref[:, :] = lampi / (alpha - q)
+
+
+def _largest_divisor(n, candidates=(1024, 512, 256, 128, 64, 32, 16, 8)):
+    for c in candidates:
+        if n % c == 0:
+            return c
+    return None
+
+
+def solve_probs(tree, q_bounds, n_iters=6, accel=True, block_rows=None,
+                interpret=False, mesh=None, mesh_axis="dp"):
+    """Pallas twin of search.node_probs (cold start): all-node regularized-
+    policy solve -> probs (B,T,A) f32. q_bounds stays a GLOBAL reduction
+    computed outside (bit-parity with the single-chip path under a mesh)."""
+    B, T, A = tree.children.shape
+    shards = mesh.shape[mesh_axis] if mesh is not None else 1
+    rows = (B // shards) * T
+    R = block_rows or _largest_divisor(rows)
+    assert R is not None and rows % R == 0, (
+        f"per-shard rows {rows} need a block divisor (got block_rows={block_rows})"
+    )
+    qb = jnp.stack([q_bounds[0], q_bounds[1]]).reshape(1, 2).astype(jnp.float32)
+    # c_puct is per-env: broadcast onto rows once (a (rows,1) f32 stream is
+    # ~1% of the row tensors)
+    cp = jnp.broadcast_to(tree.c_puct[:, None], (B, T)).astype(jnp.float32)
+
+    def inner(logits, ne, we, cp, qb):
+        Bl = logits.shape[0]
+        rows_l = Bl * T
+        flat = lambda x: x.reshape(rows_l, A)
+        grid = (rows_l // R,)
+        row_spec = pl.BlockSpec((R, A), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        one_spec = pl.BlockSpec((R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        kernel = functools.partial(
+            _solve_probs_kernel, A=A, n_iters=n_iters, accel=accel
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                row_spec,  # logits (storage dtype)
+                row_spec,  # n_edge (storage dtype)
+                row_spec,  # w_edge
+                one_spec,  # c_puct per row
+                pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_specs=row_spec,
+            out_shape=jax.ShapeDtypeStruct((rows_l, A), jnp.float32),
+            interpret=interpret,
+        )(flat(logits), flat(ne), flat(we), cp.reshape(rows_l, 1), qb)
+        return out.reshape(Bl, T, A)
+
+    inner = _shardwrap(inner, mesh, mesh_axis, n_batch_args=4, n_rep_args=1, n_outs=1)
+    return inner(tree.logits, tree.n_edge, tree.w_edge.astype(jnp.float32), cp, qb)
+
+
 def _node_actions_kernel(
     logits_ref, ne_ref, we_ref, ch_ref, rands_ref, cp_ref, qb_ref,
     actions_ref, child_ref, *, E, T, A, n_actions,

@@ -108,6 +108,14 @@ class MCTSConfig:
     # in interpreter mode (CPU shard_map testing)
     pallas_nodes: object = None
     pallas_nodes_envs: int = 16  # node_actions kernel env blocks
+    # the all-node SOLVE kernel (multi-leaf cold path): flattened (rows, A)
+    # blocks keep the whole Halley chain in VMEM — one HBM read of
+    # logits/n_edge/w_edge and one probs write, where the XLA solve
+    # re-streams the (B,T,A) intermediates every iteration (device trace:
+    # 27.6ms/pass of a 60ms pass vs a 6.2ms roofline at 16k envs 9x9).
+    # None = auto (on on TPU), True/False force, 'interpret' for CPU testing
+    pallas_solve: object = None
+    pallas_solve_rows: int = 0  # 0 = auto (largest power-of-two divisor)
     # the K-sampler kernel (multi-leaf only): K inverse-CDF draws + child
     # lookups from one VMEM residency of the solved probs, replacing the XLA
     # sampler's ~K HBM re-reads. None = auto (on on TPU when env counts
@@ -147,6 +155,23 @@ def _pallas_nodes_enabled(cfg, B):
     return (
         jax.devices()[0].platform == "tpu"
         and per_shard % cfg.pallas_nodes_envs == 0
+    )
+
+
+def _pallas_solve_enabled(cfg, B, T):
+    if cfg is None:
+        return False
+    if cfg.pallas_solve is not None:
+        return bool(cfg.pallas_solve)
+    # auto = ON on chip when the flattened rows block cleanly (they do for
+    # every power-of-two env count; measured 3.4x over the XLA solve at the
+    # 16k-env 9x9 flagship shape)
+    from . import pallas_kernels
+
+    per_shard = B // (cfg.mesh.shape[cfg.mesh_axis] if cfg.mesh is not None else 1)
+    return (
+        jax.devices()[0].platform == "tpu"
+        and pallas_kernels._largest_divisor(per_shard * T) is not None
     )
 
 
@@ -699,16 +724,31 @@ def _walk(acts, nxt, halt, root_terminal, max_levels=None):
     return parents, actions, halt_child, path
 
 
-def _walk_flat(terminal, acts, nxt, cfg, max_levels=None):
+def _walk_flat(terminal, acts, nxt, cfg, max_levels=None, pad_to=None):
     """The pointer chase on flat (B',T) arrays (Pallas kernel when cfg
     enables it, else the XLA unrolled walk) -> (parents, actions, halt_child,
     path). Rows are independent: multi-leaf callers fold K into B'. The path
-    record has min(T, max_levels) levels on the XLA route, T on the kernel
-    route (callers truncate)."""
+    record has min(T, max_levels) levels on the XLA route, >= T on the kernel
+    route (callers truncate).
+
+    `pad_to`: pad the node axis to this width before calling the Pallas
+    kernel. The grow-passes mode slices the tree to R_p rows per pass — 8
+    distinct Mosaic walk variants per search (one crashed the remote compiler
+    outright, round-3 campaign); padding acts/nxt with halting values keeps
+    ONE kernel shape for every pass (the walk starts at node 0 and pointers
+    only reach rows < R, so the pad is never read — ~0.1ms of extra DMA vs a
+    10-min compile per variant). The XLA route ignores it (its unroll is
+    already level-capped)."""
     B = acts.shape[0]
     if _pallas_walk_enabled(cfg, B):
         from . import pallas_kernels
 
+        T = acts.shape[1]
+        if pad_to is not None and pad_to > T:
+            pad = ((0, 0), (0, pad_to - T))
+            acts = jnp.pad(acts, pad)
+            nxt = jnp.pad(nxt, pad, constant_values=-1)
+            terminal = jnp.pad(terminal, pad, constant_values=True)
         return pallas_kernels.walk(
             terminal, acts, nxt,
             block_envs=cfg.pallas_walk_envs,
@@ -1117,7 +1157,8 @@ def simulate(tree, eval_fn, key, cfg: MCTSConfig):
     return backup(tree, leaves, n_per_visit)
 
 
-def simulate_multi(tree, eval_fn, key, cfg: MCTSConfig, max_levels=None):
+def simulate_multi(tree, eval_fn, key, cfg: MCTSConfig, max_levels=None,
+                   pad_walk_to=None):
     """One batched-MCTS pass: K = cfg.leaves_per_pass leaves descend, expand
     and back up together, sharing ONE all-node policy solve and ONE net eval
     over the K*B leaf worlds (the amortization the reference cannot do — its
@@ -1169,6 +1210,16 @@ def simulate_multi(tree, eval_fn, key, cfg: MCTSConfig, max_levels=None):
                     return_alpha=True,
                 )
                 tree = tree.replace(alpha=alpha_new)
+            elif K > 1 and _pallas_solve_enabled(cfg, B, T):
+                from . import pallas_kernels
+
+                probs = pallas_kernels.solve_probs(
+                    tree, _q_bounds(tree),
+                    n_iters=cfg.solve_iters, accel=cfg.solve_accel,
+                    block_rows=cfg.pallas_solve_rows or None,
+                    interpret=cfg.pallas_solve == "interpret",
+                    mesh=cfg.mesh, mesh_axis=cfg.mesh_axis,
+                )
             else:
                 probs = node_probs(
                     tree, _q_bounds(tree),
@@ -1205,7 +1256,7 @@ def simulate_multi(tree, eval_fn, key, cfg: MCTSConfig, max_levels=None):
         term_flat = jnp.broadcast_to(tree.terminal[None], (K, B, T)).reshape(K * B, T)
         p_f, a_f, h_f, path_f = _walk_flat(
             term_flat, acts.reshape(K * B, T), nxts.reshape(K * B, T), cfg,
-            max_levels=L_cap,
+            max_levels=L_cap, pad_to=pad_walk_to,
         )
     parents = p_f.reshape(K, B)
     actions = a_f.reshape(K, B)
@@ -1346,14 +1397,16 @@ def mcts(world, eval_fn, key, cfg: MCTSConfig):
     K = cfg.leaves_per_pass
     if K > 1 and cfg.grow_passes:
         # triangular passes: pass p touches only rows [0, 1+(p+1)K) — a
-        # Python loop over distinct static shapes instead of a scan. Pallas
-        # kernels default off here (per-R Mosaic variants aren't worth it);
-        # explicit True/interpret still forces them.
+        # Python loop over distinct static shapes instead of a scan. The walk
+        # kernel runs PADDED to the full T so one Mosaic variant serves every
+        # pass (see _walk_flat); the K-sampler kernel stays off by default
+        # (per-R Mosaic variants aren't worth it) but explicit True/interpret
+        # still forces it. The solve kernel is cheap to compile per-R (small
+        # straight-line body) and runs on the sliced rows.
         gcfg = replace(
             cfg,
-            pallas_walk=bool(cfg.pallas_walk) if cfg.pallas_walk is not None else False,
             pallas_sample=bool(cfg.pallas_sample) if cfg.pallas_sample is not None else False,
-        ) if (cfg.pallas_walk is None or cfg.pallas_sample is None) else cfg
+        ) if cfg.pallas_sample is None else cfg
         T = tree.children.shape[1]
         n_passes = -(-(cfg.n_nodes - 1) // K)
         for p in range(n_passes):
@@ -1361,7 +1414,7 @@ def mcts(world, eval_fn, key, cfg: MCTSConfig):
             sub = _slice_tree(tree, R)
             sub = simulate_multi(
                 sub, eval_fn, jax.random.fold_in(k_sims, p), gcfg,
-                max_levels=p + 2,
+                max_levels=p + 2, pad_walk_to=T,
             )
             tree = _write_back(tree, sub)
         return tree

@@ -81,6 +81,8 @@ class TrainConfig:
     pallas_walk_envs: int = 64
     pallas_sample: object = None  # the K-sampler kernel (see MCTSConfig)
     pallas_sample_envs: int = 64
+    pallas_solve: object = None  # the all-node solve kernel (see MCTSConfig)
+    pallas_solve_rows: int = 0  # 0 = auto block size
     # batched MCTS: K leaves per pass sharing one solve + one K*B net eval
     # (see MCTSConfig.leaves_per_pass; 1 = reference-exact sequential search)
     leaves_per_pass: int = 1
@@ -109,6 +111,8 @@ class TrainConfig:
             pallas_walk_envs=self.pallas_walk_envs,
             pallas_sample=self.pallas_sample,
             pallas_sample_envs=self.pallas_sample_envs,
+            pallas_solve=self.pallas_solve,
+            pallas_solve_rows=self.pallas_solve_rows,
             leaves_per_pass=self.leaves_per_pass,
             grow_passes=self.grow_passes,
             solve_iters=self.solve_iters,

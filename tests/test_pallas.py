@@ -273,3 +273,77 @@ def test_node_actions_multi_accel_matches_xla(accel, n_iters):
         np.asarray(a_xla), np.asarray(jnp.moveaxis(a_pal, 1, 0)))
     np.testing.assert_array_equal(
         np.asarray(c_xla), np.asarray(jnp.moveaxis(c_pal, 1, 0)))
+
+
+@pytest.mark.parametrize("accel,n_iters", [(True, 6), (False, 16)])
+def test_solve_probs_matches_xla(accel, n_iters):
+    # the solve-only rows kernel vs node_probs: identical formulation, so
+    # interpret mode matches to f32 roundoff
+    rng = np.random.default_rng(4)
+    B, T, A = 16, 12, 7
+    tree = _random_tree(rng, B, T, A, c_puct=0.0625)
+    qb = S._q_bounds(tree)
+
+    probs_x = S.node_probs(tree, qb, n_iters=n_iters, accel=accel)
+    probs_p = PK.solve_probs(tree, qb, n_iters=n_iters, accel=accel,
+                             block_rows=16, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(probs_x), np.asarray(probs_p), rtol=1e-6, atol=1e-7)
+
+
+def test_solve_probs_auto_block():
+    # block_rows=None picks the largest power-of-two divisor of B*T
+    rng = np.random.default_rng(5)
+    B, T, A = 16, 12, 7  # rows = 192 -> 64
+    tree = _random_tree(rng, B, T, A)
+    qb = S._q_bounds(tree)
+    probs_x = S.node_probs(tree, qb, n_iters=6, accel=True)
+    probs_p = PK.solve_probs(tree, qb, n_iters=6, accel=True, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(probs_x), np.asarray(probs_p), rtol=1e-6, atol=1e-7)
+
+
+def test_simulate_multi_pallas_solve_cfg():
+    # simulate_multi(cfg with pallas_solve='interpret') routes the all-node
+    # solve through the rows kernel; tree statistics must match the XLA path
+    # (compact tree active at this size, so the kernel streams bf16 n_edge)
+    from boardlaw_tpu.envs import hex, validation
+
+    world = hex.Hex.initial(n_envs=8, boardsize=5)
+    agent = validation.RandomAgent()
+    cfg_x = S.MCTSConfig(n_nodes=13, leaves_per_pass=4, use_pallas=False,
+                         pallas_solve=False)
+    cfg_p = S.MCTSConfig(n_nodes=13, leaves_per_pass=4, use_pallas=False,
+                         pallas_solve="interpret", pallas_walk=False)
+    key = jax.random.PRNGKey(7)
+
+    t_x = S.mcts(world, agent, key, cfg_x)
+    t_p = S.mcts(world, agent, key, cfg_p)
+
+    np.testing.assert_array_equal(np.asarray(t_x.children), np.asarray(t_p.children))
+    np.testing.assert_array_equal(np.asarray(t_x.n), np.asarray(t_p.n))
+    np.testing.assert_allclose(
+        np.asarray(t_x.w, np.float32), np.asarray(t_p.w, np.float32), atol=1e-5)
+
+
+def test_grow_passes_pallas_walk_padded():
+    # grow mode + the Pallas walk: inputs pad to the full T so one kernel
+    # shape serves every pass — results must match the XLA-walk grow path
+    from boardlaw_tpu.envs import hex, validation
+
+    world = hex.Hex.initial(n_envs=8, boardsize=5)
+    agent = validation.RandomAgent()
+    cfg_x = S.MCTSConfig(n_nodes=13, leaves_per_pass=4, use_pallas=False,
+                         grow_passes=True, pallas_walk=False)
+    cfg_p = S.MCTSConfig(n_nodes=13, leaves_per_pass=4, use_pallas=False,
+                         grow_passes=True, pallas_walk="interpret",
+                         pallas_walk_envs=8)
+    key = jax.random.PRNGKey(11)
+
+    t_x = S.mcts(world, agent, key, cfg_x)
+    t_p = S.mcts(world, agent, key, cfg_p)
+
+    np.testing.assert_array_equal(np.asarray(t_x.children), np.asarray(t_p.children))
+    np.testing.assert_array_equal(np.asarray(t_x.n), np.asarray(t_p.n))
+    np.testing.assert_allclose(
+        np.asarray(t_x.w, np.float32), np.asarray(t_p.w, np.float32), atol=1e-5)
