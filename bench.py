@@ -66,12 +66,14 @@ def bench_mcts(n_envs, boardsize, width, depth, n_nodes, reps=3):
     cfg = TrainConfig(
         boardsize=boardsize, width=width, depth=depth, n_nodes=n_nodes,
         dtype="bfloat16", tree_dtype="bfloat16",
-        # batched multi-leaf search: 8 leaves per solve+eval pass — the
-        # fastest measured chip config (scripts/measure_round2{b,c}.py:
-        # ~75ms/pass at 16k envs under the cold accel-6 solve = ~1.9M sims/s
-        # vs 258k for the sequential walk)
+        # batched multi-leaf search in triangular grow mode with the padded
+        # Pallas walk — the fastest measured chip config
+        # (scripts/measure_round4.py: 295ms per 64-node search at 16k envs
+        # = 3.5M sims/s, vs 516ms for round-3's scan mode and 258k sims/s
+        # for the reference-exact sequential walk)
         leaves_per_pass=8 if n_nodes > 16 else 1,
         use_pallas=False if n_nodes > 16 else None,
+        grow_passes=n_nodes > 16,
     )
     model = build_model(cfg)
     world = hex.Hex.initial(n_envs, boardsize)

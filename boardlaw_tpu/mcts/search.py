@@ -163,16 +163,14 @@ def _pallas_solve_enabled(cfg, B, T):
         return False
     if cfg.pallas_solve is not None:
         return bool(cfg.pallas_solve)
-    # auto = ON on chip when the flattened rows block cleanly (they do for
-    # every power-of-two env count; measured 3.4x over the XLA solve at the
-    # 16k-env 9x9 flagship shape)
-    from . import pallas_kernels
-
-    per_shard = B // (cfg.mesh.shape[cfg.mesh_axis] if cfg.mesh is not None else 1)
-    return (
-        jax.devices()[0].platform == "tpu"
-        and pallas_kernels._largest_divisor(per_shard * T) is not None
-    )
+    # auto = OFF: chip-measured (scripts/measure_round4.py, 16k envs 9x9
+    # K=8) the kernel only shaves the scan path 516->477ms (the 6-iteration
+    # chain is VPU-bound on 81->128 padded lanes, ~22ms/pass vs XLA's 27.6)
+    # and LOSES on the production grow path (295->404ms: materializing probs
+    # to HBM breaks the XLA solve->sampler fusion on the triangular shapes).
+    # Kept as an explicit variant (pallas_solve=True) and for interpret-mode
+    # mesh tests.
+    return False
 
 
 def _pallas_sample_enabled(cfg, B):

@@ -432,12 +432,16 @@ def run(
     Elo-equivalent to K=1 at equal sample budget (results/k_parity: 45.9%
     head-to-head over 512 games, within the 2-sigma band) and ~6x faster
     (flagship 32k-env step 6.65s -> 1.08s). Pass leaves_per_pass=1 for the
-    reference-exact sequential search.
+    reference-exact sequential search. K>1 also defaults to the triangular
+    grow-passes mode with the padded Pallas walk — distribution-identical to
+    the scan path and 1.75x faster end-to-end (295ms vs 516ms per 64-node
+    search at 16k envs, scripts/measure_round4.py).
     """
     if boardsize >= 7:
         overrides.setdefault("leaves_per_pass", 8)
         if overrides["leaves_per_pass"] > 1:
             overrides.setdefault("use_pallas", False)
+            overrides.setdefault("grow_passes", True)
     cfg = TrainConfig(
         boardsize=boardsize,
         width=width,

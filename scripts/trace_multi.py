@@ -17,10 +17,11 @@ LOGDIR = "/tmp/mcts_trace"
 
 def main():
     n_envs = int(sys.argv[1]) if len(sys.argv) > 1 else 16 * 1024
+    grow = len(sys.argv) > 2 and sys.argv[2] == "grow"
     K = 8
     cfg = TrainConfig(boardsize=9, width=512, depth=4, n_nodes=64,
                       dtype="bfloat16", tree_dtype="bfloat16", use_pallas=False,
-                      leaves_per_pass=K)
+                      leaves_per_pass=K, grow_passes=grow)
     mcfg = cfg.mcts_config()
     model = build_model(cfg)
     world = hex.Hex.initial(n_envs, cfg.boardsize)
@@ -48,16 +49,31 @@ def main():
         tree, _ = jax.lax.scan(body, tree, jax.random.split(key, 4))
         return tree.n
 
-    tree = build_tree(world, jax.random.PRNGKey(1))
-    jax.block_until_ready(tree.n)
-    out = one_pass(tree, jax.random.PRNGKey(2))  # compile
-    jax.block_until_ready(out)
-    print("warm; tracing...", flush=True)
+    if grow:
+        # the grow path unrolls per-pass shapes — trace the FULL 64-node
+        # search instead of a 4-pass scan window
+        @jax.jit
+        def one_pass(world, key):
+            return search.mcts(world, eval_fn, key, mcfg).n
 
-    jax.profiler.start_trace(LOGDIR)
-    out = one_pass(tree, jax.random.PRNGKey(3))
-    jax.block_until_ready(out)
-    jax.profiler.stop_trace()
+        out = one_pass(world, jax.random.PRNGKey(2))  # compile
+        float(out.sum())
+        print("warm; tracing (full grow search)...", flush=True)
+        jax.profiler.start_trace(LOGDIR)
+        out = one_pass(world, jax.random.PRNGKey(3))
+        float(out.sum())
+        jax.profiler.stop_trace()
+    else:
+        tree = build_tree(world, jax.random.PRNGKey(1))
+        jax.block_until_ready(tree.n)
+        out = one_pass(tree, jax.random.PRNGKey(2))  # compile
+        jax.block_until_ready(out)
+        print("warm; tracing...", flush=True)
+
+        jax.profiler.start_trace(LOGDIR)
+        out = one_pass(tree, jax.random.PRNGKey(3))
+        jax.block_until_ready(out)
+        jax.profiler.stop_trace()
     print("trace captured", flush=True)
 
     files = glob.glob(f"{LOGDIR}/**/*.trace.json.gz", recursive=True)
@@ -86,7 +102,8 @@ def main():
                                     "dynamic-update", "closed_call", "fusion",
                                     "reduce-window", "convolution", "copy")):
                     scopes["<unattributed:" + name.split(".")[0] + ">"] += e["dur"]
-    print(f"\nscope totals (1 program of 4 passes, {n_envs} envs, K={K}):")
+    label = "full 8-pass grow search" if grow else "1 program of 4 passes"
+    print(f"\nscope totals ({label}, {n_envs} envs, K={K}):")
     for name, us in scopes.most_common(25):
         print(f"{us/1e3:10.2f} ms  {name}")
     print("\ntop ops:")

@@ -2,7 +2,7 @@
 step on one chip (the reference trains this on an 11GB 2080 Ti,
 boardlaw/main.py:147)? Reports step time and samples/s.
 
-Usage: python scripts/train_32k_probe.py [n_envs] [K]
+Usage: python scripts/train_32k_probe.py [n_envs] [K] [grow]
 """
 import sys, os, time, json
 
@@ -16,10 +16,12 @@ from boardlaw_tpu import train as T
 def main():
     n_envs = int(sys.argv[1]) if len(sys.argv) > 1 else 32 * 1024
     K = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    grow = len(sys.argv) > 3 and sys.argv[3] == "grow"
     cfg = T.TrainConfig(
         boardsize=9, width=512, depth=4, n_envs=n_envs,
         dtype="bfloat16", tree_dtype="bfloat16", leaves_per_pass=K,
         use_pallas=False if K > 1 else None,
+        grow_passes=grow,
         mix_steps=64,  # cheap init; mixing length doesn't affect memory
     )
     model, opt, init, warmup, train_step = T.make_train(cfg)
