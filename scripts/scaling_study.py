@@ -99,8 +99,9 @@ def evaluate(args):
     # --top-up replays already-played pairs too: trials accumulate in the
     # DB, so a second sweep doubles the games behind every Elo estimate
     # (the MLE solve uses summed win counts) — the cheap lever on fit RMSE
+    top_up = getattr(args, "top_up", False)  # test harnesses build bare Namespaces
     matchups = [m for m in neural.all_matchups(list(agents))
-                if args.top_up or m not in seen]
+                if top_up or m not in seen]
     if not matchups:
         print("[scaling] all matchups already played")
         return
