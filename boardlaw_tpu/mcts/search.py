@@ -24,6 +24,7 @@ that behaviour by default for parity (`backup_n='seats'`); pass
 """
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field, replace
 
 import jax
@@ -295,13 +296,48 @@ def _unclamp_logits(logits):
     return jnp.where(logits <= NEG_INF_PROXY, -jnp.inf, logits)
 
 
+def _log_gamma_fixed(key, a, shape, rounds=4):
+    """log of a Gamma(a) draw via FIXED-round Marsaglia-Tsang rejection.
+
+    `jax.random.gamma`'s rejection sampler is a `lax.while_loop`; on TPU that
+    serializes an otherwise fully-fused elementwise program (traced at ~20ms
+    per 16k-env root init). Instead we stack `rounds` independent proposals
+    and keep the first accepted one. MT acceptance for shape a+1 is >0.95, so
+    the chance NO round accepts is <1e-5 per variate; those fall back to the
+    distribution mode d (bias ~1e-5 of exploration noise — irrelevant).
+    Returned in log space so the a<1 power boost u**(1/a) can't underflow f32.
+    """
+    boost = a < 1.0
+    ab = a + 1.0 if boost else float(a)
+    d = ab - 1.0 / 3.0
+    c = 1.0 / math.sqrt(9.0 * d)
+    k_n, k_u, k_b = jax.random.split(key, 3)
+    x = jax.random.normal(k_n, (rounds,) + shape)
+    u = jax.random.uniform(k_u, (rounds,) + shape, minval=1e-20)
+    v = (1.0 + c * x) ** 3
+    logv = jnp.log(jnp.where(v > 0, v, 1.0))
+    ok = (v > 0) & (jnp.log(u) < 0.5 * x * x + d - d * v + d * logv)
+    # first accepted round (argmax of bool); rows with no accept get logv=0
+    # there, i.e. the mode d
+    idx = jnp.argmax(ok, axis=0)
+    pick = lambda t: jnp.take_along_axis(t, idx[None], axis=0)[0]
+    log_g = math.log(d) + jnp.where(ok.any(0), pick(logv), 0.0)
+    if boost:
+        log_u = jnp.log(jax.random.uniform(k_b, shape, minval=1e-20))
+        log_g = log_g + log_u / a
+    return log_g
+
+
 def dirichlet_noise(key, logits, valid, eps, alpha_scale=10.0):
-    """Mix a Dirichlet draw over the valid actions into the root prior
-    (reference mcts/__init__.py:13-24)."""
+    """Mix a symmetric-Dirichlet draw over the valid actions into the root
+    prior (reference mcts/__init__.py:13-24). The draw is normalized gammas
+    sampled in log space with a fixed-round rejection (`_log_gamma_fixed`) —
+    normalization is scale-invariant, so shifting by the row max before exp
+    is exact and immune to underflow at small alpha."""
     A = logits.shape[-1]
-    alpha = jnp.full((A,), alpha_scale / A)
-    draw = jax.random.dirichlet(key, alpha, shape=logits.shape[:-1])
-    draw = jnp.where(valid, draw, 0.0)
+    log_g = _log_gamma_fixed(key, alpha_scale / A, logits.shape)
+    log_g = jnp.where(valid, log_g, -jnp.inf)
+    draw = jnp.exp(log_g - jnp.max(log_g, -1, keepdims=True))
     draw = draw / draw.sum(-1, keepdims=True)
     probs = jnp.exp(logits.astype(jnp.float32)) * (1 - eps) + draw * eps
     return jnp.log(probs)
@@ -1369,17 +1405,45 @@ def _slice_tree(tree, R):
     return tree.replace(**upd)
 
 
-def _write_back(full, sub):
-    """Write a sliced subtree's rows back over the full tree's leading rows."""
-    def upd(dst, src):
-        return jax.lax.dynamic_update_slice(dst, src, (0,) * dst.ndim)
+def _pad_tree(tree, R):
+    """Extend the node axis to R rows with `build()`'s initial values.
 
-    u = {f: upd(getattr(full, f), getattr(sub, f)) for f in _T_AXIS_FIELDS}
-    u["worlds"] = jax.tree.map(upd, full.worlds, sub.worlds)
-    if full.alpha is not None:
-        u["alpha"] = upd(full.alpha, sub.alpha)
-    u["sim"] = sub.sim
-    return full.replace(**u)
+    The grow-pass loop previously round-tripped the FULL tree every pass
+    (slice R rows out, simulate, `dynamic_update_slice` them back over all T
+    rows) — traced at ~22ms of pure copy per 16k-env search. Untouched rows
+    are by construction still at their build() init (children/parents/
+    relation = -1, stats = 0, worlds/seats = the immutable root row
+    broadcast), so appending freshly-initialized rows is bit-identical to
+    carrying them, and the concat fuses into the pass's own tree writes."""
+    B, T_cur = tree.parents.shape
+    n_new = R - T_cur
+
+    def pad_const(x, fill):
+        blk = jnp.full((B, n_new) + x.shape[2:], fill, x.dtype)
+        return jnp.concatenate([x, blk], axis=1)
+
+    def pad_root(x):  # replicate row 0 (the root never changes mid-search)
+        blk = jnp.broadcast_to(x[:, :1], (B, n_new) + x.shape[2:])
+        return jnp.concatenate([x, blk], axis=1)
+
+    upd = dict(
+        children=pad_const(tree.children, -1),
+        parents=pad_const(tree.parents, -1),
+        relation=pad_const(tree.relation, -1),
+        worlds=jax.tree.map(pad_root, tree.worlds),
+        seats=pad_root(tree.seats),
+        terminal=pad_const(tree.terminal, False),
+        rewards=pad_const(tree.rewards, 0),
+        logits=pad_const(tree.logits, 0),
+        v=pad_const(tree.v, 0),
+        n=pad_const(tree.n, 0),
+        w=pad_const(tree.w, 0),
+        n_edge=pad_const(tree.n_edge, 0),
+        w_edge=pad_const(tree.w_edge, 0),
+    )
+    if tree.alpha is not None:
+        upd["alpha"] = pad_const(tree.alpha, 0)
+    return tree.replace(**upd)
 
 
 def mcts(world, eval_fn, key, cfg: MCTSConfig):
@@ -1407,15 +1471,21 @@ def mcts(world, eval_fn, key, cfg: MCTSConfig):
         ) if cfg.pallas_sample is None else cfg
         T = tree.children.shape[1]
         n_passes = -(-(cfg.n_nodes - 1) // K)
+        # grow by PADDING, not slice+write-back: each pass appends K freshly
+        # initialized rows to the previous pass's R rows (see _pad_tree). The
+        # build()-sized tree is sliced once up front; XLA dead-code-eliminates
+        # the unused tail. build() sizes T = 1 + K*n_passes, so the last
+        # pass's tree is already full-T — no final pad needed.
+        sub = _slice_tree(tree, min(T, 1 + K))
         for p in range(n_passes):
             R = min(T, 1 + (p + 1) * K)
-            sub = _slice_tree(tree, R)
+            if sub.parents.shape[1] < R:
+                sub = _pad_tree(sub, R)
             sub = simulate_multi(
                 sub, eval_fn, jax.random.fold_in(k_sims, p), gcfg,
                 max_levels=p + 2, pad_walk_to=T,
             )
-            tree = _write_back(tree, sub)
-        return tree
+        return sub
     if K > 1:
         n_passes = -(-(cfg.n_nodes - 1) // K)
 

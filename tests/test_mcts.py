@@ -670,3 +670,54 @@ def test_multi_default_solve_converges_on_live_rows():
     T = err.shape[1]
     live = (np.arange(T)[None, :] < int(tree.sim)) & ~np.asarray(tree.terminal)
     assert (err[live] < 1e-3).all(), err[live].max()
+
+
+def test_fixed_round_gamma_matches_dirichlet_moments():
+    # The fixed-round Marsaglia-Tsang sampler replaces jax.random.dirichlet's
+    # while_loop rejection (search.py::_log_gamma_fixed). Check the normalized
+    # draw against the analytic symmetric-Dirichlet moments at the production
+    # shape parameter (alpha_scale/A with A=81 -> alpha ~ 0.1235).
+    A, N = 81, 4096
+    a = 10.0 / A
+
+    @jax.jit
+    def draw(key):
+        log_g = M.search._log_gamma_fixed(key, a, (N, A))
+        g = jnp.exp(log_g - jnp.max(log_g, -1, keepdims=True))
+        return g / g.sum(-1, keepdims=True)
+
+    x = np.asarray(draw(jax.random.PRNGKey(0)))
+    assert np.isfinite(x).all() and (x >= 0).all()
+    np.testing.assert_allclose(x.sum(-1), 1.0, atol=1e-5)
+
+    # symmetric Dirichlet: E[x_i] = 1/A, Var[x_i] = (A-1)/(A^2 (A*a + 1))
+    mean, var = x.mean(), x.var()
+    exp_mean = 1.0 / A
+    exp_var = (A - 1.0) / (A**2 * (A * a + 1.0))
+    # N*A ~ 330k variates: moment estimates are tight to a few percent
+    assert abs(mean - exp_mean) < 0.02 * exp_mean, (mean, exp_mean)
+    assert abs(var - exp_var) < 0.05 * exp_var, (var, exp_var)
+
+    # shape signature: per-row max mass must match jax.random.dirichlet's
+    # (the exact rejection sampler) — catches accidentally-uniform draws
+    y = np.asarray(jax.jit(lambda k: jax.random.dirichlet(
+        k, jnp.full((A,), a), shape=(N,)))(jax.random.PRNGKey(1)))
+    ours, ref = x.max(-1).mean(), y.max(-1).mean()
+    assert abs(ours - ref) < 0.1 * ref, (ours, ref)
+
+
+def test_dirichlet_noise_matches_reference_semantics():
+    # eps=0 must leave the prior untouched; eps=1 must be the pure draw with
+    # invalid actions at probability exactly 0 (reference mcts/__init__.py:13-24)
+    B, A = 64, 25
+    key = jax.random.PRNGKey(3)
+    logits = jax.nn.log_softmax(jax.random.normal(key, (B, A)), -1)
+    valid = jax.random.uniform(jax.random.PRNGKey(4), (B, A)) < 0.7
+    valid = valid.at[:, 0].set(True)
+
+    f = jax.jit(lambda eps: M.search.dirichlet_noise(key, logits, valid, eps))
+    np.testing.assert_allclose(
+        np.asarray(f(0.0)), np.asarray(logits), rtol=1e-5, atol=1e-6)
+    pure = np.exp(np.asarray(f(1.0)))
+    np.testing.assert_allclose(pure.sum(-1), 1.0, atol=1e-5)
+    assert (pure[~np.asarray(valid)] == 0).all()
