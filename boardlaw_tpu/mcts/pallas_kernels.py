@@ -74,7 +74,7 @@ def _solve_policy_rows(pi, q, lam, n_iters=16, tol=1e-3):
 
 def _solve_probs_kernel(
     logits_ref, ne_ref, we_ref, cp_ref, qb_ref, probs_ref,
-    *, A, n_iters, accel, tol=1e-3,
+    *, A, n_iters, accel, tol=1e-3, out_alpha=False,
 ):
     """The regularized-policy solve alone, on flattened (rows, A) blocks —
     rows = env*node pairs, every iteration VMEM-resident.
@@ -133,7 +133,15 @@ def _solve_probs_kernel(
             done = done | (err < tol)
         alpha = jnp.maximum(alpha - jnp.where(done, 0.0, step), floor)
 
-    probs_ref[:, :] = lampi / (alpha - q)
+    if out_alpha:
+        # alpha-only output: (R,1) f32. The caller recomputes
+        # probs = lampi/(alpha - q) in XLA, where it FUSES into the sampler's
+        # cum matmul — so the (rows, A) f32 probs tensor never touches HBM
+        # (materializing it is what made the probs-mode kernel lose on the
+        # grow path, 295->404ms; see _pallas_solve_enabled).
+        probs_ref[:, :] = alpha
+    else:
+        probs_ref[:, :] = lampi / (alpha - q)
 
 
 def _largest_divisor(n, candidates=(1024, 512, 256, 128, 64, 32, 16, 8)):
@@ -144,11 +152,15 @@ def _largest_divisor(n, candidates=(1024, 512, 256, 128, 64, 32, 16, 8)):
 
 
 def solve_probs(tree, q_bounds, n_iters=6, accel=True, block_rows=None,
-                interpret=False, mesh=None, mesh_axis="dp"):
+                interpret=False, mesh=None, mesh_axis="dp", out="probs"):
     """Pallas twin of search.node_probs (cold start): all-node regularized-
-    policy solve -> probs (B,T,A) f32. q_bounds stays a GLOBAL reduction
-    computed outside (bit-parity with the single-chip path under a mesh)."""
+    policy solve -> probs (B,T,A) f32, or just the converged Newton roots
+    alpha (B,T) f32 with out="alpha" (HBM writes shrink by A; the caller
+    derives probs in XLA where they fuse into the sampler). q_bounds stays a
+    GLOBAL reduction computed outside (bit-parity with the single-chip path
+    under a mesh)."""
     B, T, A = tree.children.shape
+    out_alpha = out == "alpha"
     shards = mesh.shape[mesh_axis] if mesh is not None else 1
     rows = (B // shards) * T
     R = block_rows or _largest_divisor(rows)
@@ -168,9 +180,10 @@ def solve_probs(tree, q_bounds, n_iters=6, accel=True, block_rows=None,
         row_spec = pl.BlockSpec((R, A), lambda i: (i, 0), memory_space=pltpu.VMEM)
         one_spec = pl.BlockSpec((R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
         kernel = functools.partial(
-            _solve_probs_kernel, A=A, n_iters=n_iters, accel=accel
+            _solve_probs_kernel, A=A, n_iters=n_iters, accel=accel,
+            out_alpha=out_alpha,
         )
-        out = pl.pallas_call(
+        res = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
@@ -180,11 +193,12 @@ def solve_probs(tree, q_bounds, n_iters=6, accel=True, block_rows=None,
                 one_spec,  # c_puct per row
                 pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
             ],
-            out_specs=row_spec,
-            out_shape=jax.ShapeDtypeStruct((rows_l, A), jnp.float32),
+            out_specs=one_spec if out_alpha else row_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (rows_l, 1) if out_alpha else (rows_l, A), jnp.float32),
             interpret=interpret,
         )(flat(logits), flat(ne), flat(we), cp.reshape(rows_l, 1), qb)
-        return out.reshape(Bl, T, A)
+        return res.reshape((Bl, T) if out_alpha else (Bl, T, A))
 
     inner = _shardwrap(inner, mesh, mesh_axis, n_batch_args=4, n_rep_args=1, n_outs=1)
     return inner(tree.logits, tree.n_edge, tree.w_edge.astype(jnp.float32), cp, qb)

@@ -169,8 +169,13 @@ def _pallas_solve_enabled(cfg, B, T):
     # chain is VPU-bound on 81->128 padded lanes, ~22ms/pass vs XLA's 27.6)
     # and LOSES on the production grow path (295->404ms: materializing probs
     # to HBM breaks the XLA solve->sampler fusion on the triangular shapes).
-    # Kept as an explicit variant (pallas_solve=True) and for interpret-mode
-    # mesh tests.
+    # The alpha-only variant (pallas_solve="alpha": kernel returns just the
+    # (B,T) Newton roots, probs re-derived in XLA and fused into the sampler)
+    # removes that round trip but STILL loses on grow (262->358ms at the same
+    # shapes — the lane padding tax dominates at small R, and 8 per-R Mosaic
+    # variants cost ~15min of remote compile); it is the best SCAN variant
+    # (520->485ms). Kept as explicit variants (True/"alpha") and for
+    # interpret-mode mesh tests.
     return False
 
 
@@ -547,14 +552,19 @@ def descend_reference(tree, rands):
 
 
 def node_probs(tree, q_bounds, warm_alpha=None, n_iters=16, return_alpha=False,
-               accel=False):
+               accel=False, fixed_alpha=None):
     """Solved pi_bar for EVERY node of every env in one fully-vectorized
     pass -> (B,T,A) f32. The Newton solve is the expensive part of descend;
     computing it per-node once lets K samples share one solve.
 
     `warm_alpha` (B,T): restart from the previous pass's converged alphas
     (see solve_policy) — the multi-leaf search threads them through
-    `Tree.alpha`."""
+    `Tree.alpha`.
+
+    `fixed_alpha` (B,T): SKIP the iteration entirely and evaluate
+    probs = lam*pi/(alpha - q) at the given already-converged roots (the
+    alpha-only Pallas solve kernel's output) — a single elementwise pass that
+    XLA fuses into the downstream sampler."""
     B, T, A = tree.children.shape
     lo, hi = q_bounds
 
@@ -568,6 +578,9 @@ def node_probs(tree, q_bounds, warm_alpha=None, n_iters=16, return_alpha=False,
     pi = jnp.exp(logits)
     N = counts.sum(-1)  # (B,T)
     lam = tree.c_puct[:, None] * N / (N + A)
+
+    if fixed_alpha is not None:
+        return (lam[:, :, None] * pi) / (fixed_alpha[:, :, None].astype(jnp.float32) - q)
 
     out = solve_policy(
         pi.reshape(B * T, A), q.reshape(B * T, A), lam.reshape(B * T),
@@ -1247,13 +1260,22 @@ def simulate_multi(tree, eval_fn, key, cfg: MCTSConfig, max_levels=None,
             elif K > 1 and _pallas_solve_enabled(cfg, B, T):
                 from . import pallas_kernels
 
-                probs = pallas_kernels.solve_probs(
-                    tree, _q_bounds(tree),
+                mode = cfg.pallas_solve
+                alpha_mode = isinstance(mode, str) and mode.startswith("alpha")
+                qb = _q_bounds(tree)
+                res = pallas_kernels.solve_probs(
+                    tree, qb,
                     n_iters=cfg.solve_iters, accel=cfg.solve_accel,
                     block_rows=cfg.pallas_solve_rows or None,
-                    interpret=cfg.pallas_solve == "interpret",
+                    interpret=mode in ("interpret", "alpha_interpret"),
                     mesh=cfg.mesh, mesh_axis=cfg.mesh_axis,
+                    out="alpha" if alpha_mode else "probs",
                 )
+                # alpha mode: the kernel returns only the converged Newton
+                # roots; the probs evaluation runs in XLA where it fuses into
+                # the sampler (no (B,T,A) f32 probs round trip through HBM)
+                probs = (node_probs(tree, qb, fixed_alpha=res)
+                         if alpha_mode else res)
             else:
                 probs = node_probs(
                     tree, _q_bounds(tree),

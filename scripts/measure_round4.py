@@ -43,6 +43,18 @@ def main():
         "grow-xsolve": dataclasses.replace(base, grow_passes=True,
                                            pallas_solve=False),
         "grow-ksolve": dataclasses.replace(base, grow_passes=True),
+        "grow-asolve": dataclasses.replace(base, grow_passes=True,
+                                           pallas_solve="alpha"),
+        "scan-asolve": dataclasses.replace(base, pallas_solve="alpha"),
+        "walk128": dataclasses.replace(base, grow_passes=True,
+                                       pallas_solve=False,
+                                       pallas_walk_envs=128),
+        "walk256": dataclasses.replace(base, grow_passes=True,
+                                       pallas_solve=False,
+                                       pallas_walk_envs=256),
+        "walk512": dataclasses.replace(base, grow_passes=True,
+                                       pallas_solve=False,
+                                       pallas_walk_envs=512),
         "rows256": dataclasses.replace(base, pallas_solve_rows=256),
         "rows512": dataclasses.replace(base, pallas_solve_rows=512),
         "rows1024": dataclasses.replace(base, pallas_solve_rows=1024),

@@ -347,3 +347,46 @@ def test_grow_passes_pallas_walk_padded():
     np.testing.assert_array_equal(np.asarray(t_x.n), np.asarray(t_p.n))
     np.testing.assert_allclose(
         np.asarray(t_x.w, np.float32), np.asarray(t_p.w, np.float32), atol=1e-5)
+
+
+def test_solve_alpha_mode_matches_probs_mode():
+    # out="alpha" returns only the converged Newton roots; feeding them back
+    # through node_probs(fixed_alpha=...) must reproduce the probs-mode
+    # kernel (and the XLA solve) to f32 roundoff
+    rng = np.random.default_rng(6)
+    B, T, A = 16, 12, 7
+    tree = _random_tree(rng, B, T, A, c_puct=0.0625)
+    qb = S._q_bounds(tree)
+
+    probs_x = S.node_probs(tree, qb, n_iters=6, accel=True)
+    alpha = PK.solve_probs(tree, qb, n_iters=6, accel=True,
+                           block_rows=16, interpret=True, out="alpha")
+    assert alpha.shape == (B, T)
+    probs_a = S.node_probs(tree, qb, fixed_alpha=alpha)
+    np.testing.assert_allclose(
+        np.asarray(probs_x), np.asarray(probs_a), rtol=1e-6, atol=1e-7)
+
+
+def test_simulate_multi_alpha_solve_cfg():
+    # pallas_solve='alpha_interpret' routes through the alpha-only kernel +
+    # XLA probs; tree statistics must match the XLA-solve path, including
+    # under grow passes (per-R kernel variants)
+    from boardlaw_tpu.envs import hex, validation
+
+    world = hex.Hex.initial(n_envs=8, boardsize=5)
+    agent = validation.RandomAgent()
+    key = jax.random.PRNGKey(7)
+    for grow in (False, True):
+        cfg_x = S.MCTSConfig(n_nodes=13, leaves_per_pass=4, use_pallas=False,
+                             pallas_solve=False, grow_passes=grow)
+        cfg_a = S.MCTSConfig(n_nodes=13, leaves_per_pass=4, use_pallas=False,
+                             pallas_solve="alpha_interpret", pallas_walk=False,
+                             grow_passes=grow)
+        t_x = S.mcts(world, agent, key, cfg_x)
+        t_a = S.mcts(world, agent, key, cfg_a)
+        np.testing.assert_array_equal(
+            np.asarray(t_x.children), np.asarray(t_a.children))
+        np.testing.assert_array_equal(np.asarray(t_x.n), np.asarray(t_a.n))
+        np.testing.assert_allclose(
+            np.asarray(t_x.w, np.float32), np.asarray(t_a.w, np.float32),
+            atol=1e-5)
