@@ -128,7 +128,7 @@ class MCTSConfig:
     pallas_walk: object = None
     # 64-env blocks: the T-level unrolled chase holds ~T live (E,T) i32
     # vectors; E=256 blows the 16MB scoped-VMEM stack limit (measured 22.5M)
-    pallas_walk_envs: int = 64
+    pallas_walk_envs: int = 256  # max block; clamped to a per-shard divisor (chip sweep: 256 ~5% over 64 at 16k envs)
     mesh: object = None  # jax.sharding.Mesh — shard kernels via shard_map
     mesh_axis: str = "dp"
 
@@ -189,16 +189,23 @@ def _pallas_sample_enabled(cfg, B):
     return False
 
 
+def _walk_block(cfg, rows):
+    """Largest power-of-two block <= cfg.pallas_walk_envs dividing the
+    per-shard row count (so raising the default block can never silently
+    disable the kernel for small batches — it just shrinks the block)."""
+    per_shard = rows // (cfg.mesh.shape[cfg.mesh_axis] if cfg.mesh is not None else 1)
+    e = 1
+    while e * 2 <= cfg.pallas_walk_envs and per_shard % (e * 2) == 0:
+        e *= 2
+    return e
+
+
 def _pallas_walk_enabled(cfg, B):
     if cfg is None:
         return False
     if cfg.pallas_walk is not None:
         return bool(cfg.pallas_walk)
-    per_shard = B // (cfg.mesh.shape[cfg.mesh_axis] if cfg.mesh is not None else 1)
-    return (
-        jax.devices()[0].platform == "tpu"
-        and per_shard % cfg.pallas_walk_envs == 0
-    )
+    return jax.devices()[0].platform == "tpu" and _walk_block(cfg, B) >= 8
 
 
 def _pallas_kwargs(cfg):
@@ -798,7 +805,7 @@ def _walk_flat(terminal, acts, nxt, cfg, max_levels=None, pad_to=None):
             terminal = jnp.pad(terminal, pad, constant_values=True)
         return pallas_kernels.walk(
             terminal, acts, nxt,
-            block_envs=cfg.pallas_walk_envs,
+            block_envs=_walk_block(cfg, B),
             interpret=cfg.pallas_walk == "interpret",
             mesh=cfg.mesh, mesh_axis=cfg.mesh_axis,
         )

@@ -78,7 +78,7 @@ class TrainConfig:
     pallas_nodes: object = None  # the production descend kernel (see MCTSConfig)
     pallas_nodes_envs: int = 16
     pallas_walk: object = None  # the pointer-chase kernel (see MCTSConfig)
-    pallas_walk_envs: int = 64
+    pallas_walk_envs: int = 256
     pallas_sample: object = None  # the K-sampler kernel (see MCTSConfig)
     pallas_sample_envs: int = 64
     pallas_solve: object = None  # the all-node solve kernel (see MCTSConfig)
