@@ -41,6 +41,8 @@ def parse_sizes(s):
 def train(args):
     from boardlaw_tpu import train as T
 
+    desc = getattr(args, "desc", DESC)
+
     done = []
     for width, depth in parse_sizes(args.sizes):
         t0 = time.time()
@@ -48,7 +50,7 @@ def train(args):
             args.boardsize,
             width,
             depth,
-            desc=DESC,
+            desc=desc,
             n_envs=args.envs,
             storer="flops",
             max_steps=args.steps,
@@ -76,7 +78,8 @@ def evaluate(args):
 
     sql.refresh()
     ags = sql.agent_query()
-    ags = ags[(ags.boardsize == args.boardsize) & (ags.description == DESC)]
+    desc = getattr(args, "desc", DESC)
+    ags = ags[(ags.boardsize == args.boardsize) & (ags.description == desc)]
     if len(ags) < 2:
         print(f"[scaling] only {len(ags)} agents registered — train first")
         return
@@ -94,7 +97,7 @@ def evaluate(args):
             agents[int(aid)] = a
     print(f"[scaling] league of {len(agents)} agents", flush=True)
 
-    played = sql.trial_query(args.boardsize, DESC)
+    played = sql.trial_query(args.boardsize, desc)
     seen = set(zip(played.black_agent, played.white_agent)) if len(played) else set()
     # --top-up replays already-played pairs too: trials accumulate in the
     # DB, so a second sweep doubles the games behind every Elo estimate
@@ -131,7 +134,7 @@ def fit(args):
 
     from boardlaw_tpu.scaling import data
 
-    df = data.load(DESC)
+    df = data.load(getattr(args, "desc", DESC))
     df = df[df.boardsize == args.boardsize]
     if len(df) == 0:
         # fall back to a committed frontier export (results/) so the fit is
@@ -232,9 +235,70 @@ def fit(args):
     print(f"[scaling] {json.dumps(summary)}", flush=True)
 
 
+def gap(args):
+    """Seed-repeat dispersion, self-contained: for every (width, depth) rung
+    of --desc's league with >=2 runs (seeds), interpolate each seed's
+    Elo-vs-flops curve onto a common grid and report the mean/max Elo spread.
+    This is the 'within seed variance' yardstick of BASELINE.md's scaling-law
+    correctness bar (reference analysis/data.py's runs differ only by seed).
+    Writes results/scaling/seed_repeat_b{boardsize}.json and, if a committed
+    frontier fit exists for the boardsize, annotates it with the gap."""
+    import numpy as np
+
+    from boardlaw_tpu.scaling import data
+
+    desc = getattr(args, "desc", DESC)
+    df = data.load(desc)
+    df = df[df.boardsize == args.boardsize]
+    if len(df) == 0:
+        print("[scaling] no evaluated agents for gap — run evaluate first")
+        return
+    rungs = {}
+    for (w, d), g in df.groupby(["width", "depth"]):
+        if g.run.nunique() < 2:
+            continue
+        curves = data.interp_curves(g).dropna()
+        if len(curves) == 0 or curves.shape[1] < 2:
+            continue
+        span = (curves.max(1) - curves.min(1)) * data.ELO
+        rungs[f"{int(w)}x{int(d)}"] = {
+            "n_seeds": int(g.run.nunique()),
+            "n_grid_points": int(len(span)),
+            "mean_elo_gap": float(span.mean()),
+            "max_elo_gap": float(span.max()),
+        }
+    if not rungs:
+        print("[scaling] no rung has >=2 seed runs")
+        return
+    summary = {
+        "boardsize": args.boardsize,
+        "desc": desc,
+        "rungs": rungs,
+        "seed_repeat_mean_elo_gap": float(
+            np.mean([r["mean_elo_gap"] for r in rungs.values()])),
+    }
+    os.makedirs("results/scaling", exist_ok=True)
+    out = f"results/scaling/seed_repeat_b{args.boardsize}.json"
+    with open(out, "w") as f:
+        json.dump(summary, f, indent=2)
+    fitf = f"results/scaling/fit_b{args.boardsize}.json"
+    if os.path.exists(fitf):
+        with open(fitf) as f:
+            fit_summary = json.load(f)
+        fit_summary["seed_repeat_mean_elo_gap"] = summary["seed_repeat_mean_elo_gap"]
+        fit_summary["seed_repeat_rungs"] = len(rungs)
+        with open(fitf, "w") as f:
+            json.dump(fit_summary, f, indent=2)
+    print(f"[scaling] {json.dumps(summary)}", flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("stage", choices=["train", "evaluate", "fit", "all"])
+    p.add_argument("stage", choices=["train", "evaluate", "fit", "gap", "all"])
+    p.add_argument("--desc", default=DESC,
+                   help="run description / league namespace (seed-repeat "
+                        "studies use their own so they don't contaminate "
+                        "the main frontier league)")
     p.add_argument("--boardsize", type=int, default=7)
     p.add_argument("--envs", type=int, default=1024)
     p.add_argument("--steps", type=int, default=2000)
@@ -258,6 +322,8 @@ def main():
         evaluate(args)
     if args.stage in ("fit", "all"):
         fit(args)
+    if args.stage == "gap":
+        gap(args)
 
 
 if __name__ == "__main__":
