@@ -112,9 +112,11 @@ class MCTSConfig:
     # the all-node SOLVE kernel (multi-leaf cold path): flattened (rows, A)
     # blocks keep the whole Halley chain in VMEM — one HBM read of
     # logits/n_edge/w_edge and one probs write, where the XLA solve
-    # re-streams the (B,T,A) intermediates every iteration (device trace:
-    # 27.6ms/pass of a 60ms pass vs a 6.2ms roofline at 16k envs 9x9).
-    # None = auto (on on TPU), True/False force, 'interpret' for CPU testing
+    # re-streams the (B,T,A) intermediates every iteration.
+    # None = auto, which is OFF: chip-measured SLOWER than the fused XLA
+    # solve on the production grow path (see _pallas_solve_enabled).
+    # True forces the probs-output kernel, "alpha" the roots-only variant
+    # (best scan-mode option), "interpret"/"alpha_interpret" for CPU testing.
     pallas_solve: object = None
     pallas_solve_rows: int = 0  # 0 = auto (largest power-of-two divisor)
     # the K-sampler kernel (multi-leaf only): K inverse-CDF draws + child
@@ -159,7 +161,7 @@ def _pallas_nodes_enabled(cfg, B):
     )
 
 
-def _pallas_solve_enabled(cfg, B, T):
+def _pallas_solve_enabled(cfg):
     if cfg is None:
         return False
     if cfg.pallas_solve is not None:
@@ -797,6 +799,17 @@ def _walk_flat(terminal, acts, nxt, cfg, max_levels=None, pad_to=None):
     if _pallas_walk_enabled(cfg, B):
         from . import pallas_kernels
 
+        E = _walk_block(cfg, B)
+        if E < 8 and cfg.pallas_walk not in (None, "interpret"):
+            # forced-on with a per-shard row count whose 2-adic part is tiny:
+            # degenerate 1-4 row Mosaic blocks would either fail sublane
+            # tiling or run absurdly slow — fail loudly instead (the auto
+            # path already gates on E >= 8; interpret mode is emulation and
+            # runs any block size)
+            raise ValueError(
+                f"pallas_walk=True needs a per-shard row count divisible by "
+                f"a block of >=8 envs (got {B} rows -> block {E}); pad the "
+                f"batch or set pallas_walk=False")
         T = acts.shape[1]
         if pad_to is not None and pad_to > T:
             pad = ((0, 0), (0, pad_to - T))
@@ -805,7 +818,7 @@ def _walk_flat(terminal, acts, nxt, cfg, max_levels=None, pad_to=None):
             terminal = jnp.pad(terminal, pad, constant_values=True)
         return pallas_kernels.walk(
             terminal, acts, nxt,
-            block_envs=_walk_block(cfg, B),
+            block_envs=E,
             interpret=cfg.pallas_walk == "interpret",
             mesh=cfg.mesh, mesh_axis=cfg.mesh_axis,
         )
@@ -1266,7 +1279,7 @@ def simulate_multi(tree, eval_fn, key, cfg: MCTSConfig, max_levels=None,
                     return_alpha=True,
                 )
                 tree = tree.replace(alpha=alpha_new)
-            elif K > 1 and _pallas_solve_enabled(cfg, B, T):
+            elif K > 1 and _pallas_solve_enabled(cfg):
                 from . import pallas_kernels
 
                 mode = cfg.pallas_solve
@@ -1349,24 +1362,28 @@ def simulate_multi(tree, eval_fn, key, cfg: MCTSConfig, max_levels=None,
     # All routing contractions below are EXACT in bf16: every output cell has
     # at most ONE nonzero contributor (walks are write-deduped and a row
     # lookup hits one row), one-hot coefficients are 0/1, and every integer
-    # payload routed here (node slots < T<=127, actions < A, uint8 cell
-    # labels, seats) is < 2^8 — exactly representable in bf16's 8-bit
-    # mantissa. bf16 halves the HBM traffic of the (B,T,F) materializations
-    # (traced at ~13ms/search of the writes scope at 16k envs). f32 payloads
-    # (net values/value sums) keep f32 so no real rounding ever leaks in.
+    # payload routed here (node slots < T, actions < A, uint8 cell labels,
+    # seats) is < 2^8 — exactly representable in bf16's 8-bit mantissa AS
+    # LONG AS T, A <= 256; bigger trees route indices in f32 (bf16 rounds
+    # integers > 256 to even, silently cross-linking pointers). bf16 halves
+    # the HBM traffic of the (B,T,F) materializations (traced ~13ms/search of
+    # the writes scope at 16k envs). f32 payloads (net values/value sums)
+    # keep f32 so no real rounding ever leaks in.
+    idx_ct = bf16 if max(T, A) <= 256 else f32
     ohP = jax.nn.one_hot(parents, T, dtype=bf16)  # (K,B,T); -1 rows -> zero
     ohA = jax.nn.one_hot(actions, A, dtype=bf16)  # (K,B,A)
     ohL = jax.nn.one_hot(leaves, T, dtype=bf16) * write[:, :, None]  # (K,B,T)
 
     def _route_dtype(dtype):
-        return f32 if dtype in (jnp.float32, jnp.float64) else bf16
+        return f32 if dtype in (jnp.float32, jnp.float64) else idx_ct
 
     # children pointers: one contraction for mask and value (write-deduped,
     # so every (t,a) cell has at most one contributor)
     ohPw = ohP * write[:, :, None]
     mask_e = jnp.einsum("kbt,kba->bta", ohPw, ohA, preferred_element_type=bf16)
-    val_e = jnp.einsum("kbt,kba->bta", ohPw, ohA * leaves[:, :, None].astype(bf16),
-                       preferred_element_type=bf16)
+    val_e = jnp.einsum("kbt,kba->bta", ohPw.astype(idx_ct),
+                       ohA.astype(idx_ct) * leaves[:, :, None].astype(idx_ct),
+                       preferred_element_type=idx_ct)
     children = jnp.where(mask_e > 0.5, val_e.astype(tree.children.dtype), tree.children)
 
     # leaf worlds: gather the K parent rows by one-hot contraction (the big

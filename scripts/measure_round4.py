@@ -39,10 +39,11 @@ def main():
 
     variants = {
         "r3-prod": dataclasses.replace(base, pallas_solve=False),
-        "scan-ksolve": base,  # pallas_solve auto -> ON on TPU
+        "scan-ksolve": dataclasses.replace(base, pallas_solve=True),
         "grow-xsolve": dataclasses.replace(base, grow_passes=True,
                                            pallas_solve=False),
-        "grow-ksolve": dataclasses.replace(base, grow_passes=True),
+        "grow-ksolve": dataclasses.replace(base, grow_passes=True,
+                                           pallas_solve=True),
         "grow-asolve": dataclasses.replace(base, grow_passes=True,
                                            pallas_solve="alpha"),
         "scan-asolve": dataclasses.replace(base, pallas_solve="alpha"),
@@ -55,9 +56,12 @@ def main():
         "walk512": dataclasses.replace(base, grow_passes=True,
                                        pallas_solve=False,
                                        pallas_walk_envs=512),
-        "rows256": dataclasses.replace(base, pallas_solve_rows=256),
-        "rows512": dataclasses.replace(base, pallas_solve_rows=512),
-        "rows1024": dataclasses.replace(base, pallas_solve_rows=1024),
+        "rows256": dataclasses.replace(base, pallas_solve=True,
+                                       pallas_solve_rows=256),
+        "rows512": dataclasses.replace(base, pallas_solve=True,
+                                       pallas_solve_rows=512),
+        "rows1024": dataclasses.replace(base, pallas_solve=True,
+                                        pallas_solve_rows=1024),
     }
 
     for name in WHICH:

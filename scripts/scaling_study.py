@@ -125,6 +125,25 @@ def evaluate(args):
           flush=True)
 
 
+def seed_gaps(df):
+    """Per-(width, depth) seed-repeat dispersion: for every rung with >=2
+    runs, interpolate each run's Elo-vs-flops curve onto a common grid and
+    return {rung: (n_seeds, span_series_in_elo)} — the 'within seed
+    variance' yardstick of BASELINE.md's scaling-law correctness bar."""
+    from boardlaw_tpu.scaling import data
+
+    out = {}
+    for (w, d), g in df.groupby(["width", "depth"]):
+        if g.run.nunique() < 2:
+            continue
+        curves = data.interp_curves(g).dropna()
+        if len(curves) == 0 or curves.shape[1] < 2:
+            continue
+        span = (curves.max(1) - curves.min(1)) * data.ELO
+        out[f"{int(w)}x{int(d)}"] = (int(g.run.nunique()), span)
+    return out
+
+
 def fit(args):
     import matplotlib
 
@@ -218,15 +237,7 @@ def fit(args):
     # interpolate both onto a common flops grid and report the mean |Elo gap|
     # — the "within seed variance" yardstick BASELINE.md's correctness bar
     # asks the frontier reproduction to live inside
-    gaps = []
-    for (w, d), g in df.groupby(["width", "depth"]):
-        if g.run.nunique() < 2:
-            continue
-        curves = data.interp_curves(g)
-        c = curves.dropna()
-        if len(c) and c.shape[1] >= 2:
-            span = c.max(1) - c.min(1)
-            gaps.append(float(span.mean()) * data.ELO)
+    gaps = [float(span.mean()) for _, span in seed_gaps(df).values()]
     if gaps:
         summary["seed_repeat_mean_elo_gap"] = float(np.mean(gaps))
         summary["seed_repeat_rungs"] = len(gaps)
@@ -253,20 +264,15 @@ def gap(args):
     if len(df) == 0:
         print("[scaling] no evaluated agents for gap — run evaluate first")
         return
-    rungs = {}
-    for (w, d), g in df.groupby(["width", "depth"]):
-        if g.run.nunique() < 2:
-            continue
-        curves = data.interp_curves(g).dropna()
-        if len(curves) == 0 or curves.shape[1] < 2:
-            continue
-        span = (curves.max(1) - curves.min(1)) * data.ELO
-        rungs[f"{int(w)}x{int(d)}"] = {
-            "n_seeds": int(g.run.nunique()),
+    rungs = {
+        rung: {
+            "n_seeds": n,
             "n_grid_points": int(len(span)),
             "mean_elo_gap": float(span.mean()),
             "max_elo_gap": float(span.max()),
         }
+        for rung, (n, span) in seed_gaps(df).items()
+    }
     if not rungs:
         print("[scaling] no rung has >=2 seed runs")
         return
