@@ -1066,31 +1066,21 @@ def backup_paths(tree, paths, acts, leaves, n_per_visit):
     Laug = L + 1
     f32 = jnp.float32
 
-    # B-MAJOR from the start: transpose only the SMALL integer records once
-    # (paths/acts/leaves, a few MB of i32); every bulk one-hot is then
-    # CREATED directly in the concatenated (B, K*L, .) layout, so no
-    # (K,B,L,T) bf16 tensor is ever transposed — the per-einsum transposes
-    # of the K-major formulation traced at ~8ms/search of pure 'data
-    # formatting' at 16k envs.
-    pathsB = jnp.moveaxis(paths, 0, 1)  # (B,K,L)
-    actsB = jnp.moveaxis(acts, 0, 1)  # (B,K,T)
-    leavesB = jnp.moveaxis(leaves, 0, 1)  # (B,K)
-
-    # augment each path with its leaf at position depth(b,k)
-    depth = (pathsB >= 0).sum(-1)  # (B,K)
+    # augment each path with its leaf at position depth(k,b)
+    depth = (paths >= 0).sum(-1)  # (K,B)
     iota_l = jnp.arange(Laug)[None, None, :]
-    leaf_pos = iota_l == depth[:, :, None]  # (B,K,Laug)
-    path_aug = jnp.concatenate(
-        [pathsB, jnp.full((B, K, 1), -1, paths.dtype)], axis=-1)
-    path_aug = jnp.where(leaf_pos, leavesB[:, :, None], path_aug)
-    active = path_aug >= 0  # (B,K,Laug)
-
-    flatL = lambda x: x.reshape((B, K * x.shape[2]) + x.shape[3:])
+    leaf_pos = iota_l == depth[:, :, None]  # (K,B,Laug)
+    path_aug = jnp.concatenate([paths, jnp.full((K, B, 1), -1, paths.dtype)], axis=-1)
+    path_aug = jnp.where(leaf_pos, leaves[:, :, None], path_aug)
+    active = path_aug >= 0  # (K,B,Laug)
 
     # concatenated-level one-hots: ONE (B, K*Laug, T) tensor serves all K
-    onehotP = jax.nn.one_hot(jnp.clip(flatL(path_aug), 0), T, dtype=jnp.bfloat16) \
-        * flatL(active)[:, :, None]  # (B,K*Laug,T)
-    aP4 = onehotP.reshape(B, K, Laug, T)  # free view
+    def cat(x):  # (K,B,L,...) -> (B,K*L,...)
+        return jnp.moveaxis(x, 0, 1).reshape((B, K * x.shape[2]) + x.shape[3:])
+
+    aP = jax.nn.one_hot(jnp.clip(path_aug, 0), T, dtype=jnp.bfloat16) \
+        * active[:, :, :, None]  # (K,B,Laug,T)
+    onehotP = cat(aP)  # (B, K*Laug, T)
 
     term_path = (
         jnp.einsum("blt,bt->bl", onehotP, tree.terminal.astype(f32),
@@ -1101,47 +1091,46 @@ def backup_paths(tree, paths, acts, leaves, n_per_visit):
     seat_path = jnp.einsum("blt,bt->bl", onehotP, tree.seats.astype(f32),
                            preferred_element_type=f32).astype(jnp.int32)
     # the action at each path level = that level's node row of the per-k acts
-    a_lvl = jnp.einsum("bklt,bkt->bkl", aP4, actsB.astype(f32),
-                       preferred_element_type=f32).astype(jnp.int32)  # (B,K,Laug)
+    a_lvl = jnp.einsum("kblt,kbt->kbl", aP, acts.astype(f32),
+                       preferred_element_type=f32).astype(jnp.int32)  # (K,B,Laug)
 
     # leaf values, zeroed at terminal leaves; suffix-sum of rewards per path
-    v = jnp.einsum("bkt,bts->bks", jax.nn.one_hot(leavesB, T, dtype=jnp.bfloat16),
-                   tree.v.astype(f32), preferred_element_type=f32)  # (B,K,S)
-    term_bkl = term_path.reshape(B, K, Laug)
-    leaf_term = (term_bkl & leaf_pos).any(-1)  # (B,K)
-    base = jnp.where(leaf_term[:, :, None], 0.0, v)  # (B,K,S)
-    rew_bkl = rew_path.reshape(B, K, Laug, S)
-    suffix = _suffix_sum_levels(rew_bkl.reshape(B * K, Laug, S)).reshape(B, K, Laug, S)
-    dw_path = (suffix + base[:, :, None, :]) * active[..., None]  # (B,K,Laug,S)
-    dn_path = flatL(active).astype(f32) * n_per_visit  # (B,K*Laug)
+    v = jnp.einsum("kbt,bts->kbs", jax.nn.one_hot(leaves, T, dtype=jnp.bfloat16),
+                   tree.v.astype(f32), preferred_element_type=f32)  # (K,B,S)
+    term_kbl = jnp.moveaxis(term_path.reshape(B, K, Laug), 1, 0)  # (K,B,Laug)
+    leaf_term = (term_kbl & leaf_pos).any(-1)  # (K,B)
+    base = jnp.where(leaf_term[:, :, None], 0.0, v)  # (K,B,S)
+    rew_kbl = jnp.moveaxis(rew_path.reshape(B, K, Laug, S), 1, 0)  # (K,B,Laug,S)
+    suffix = _suffix_sum_levels(rew_kbl.reshape(K * B, Laug, S)).reshape(K, B, Laug, S)
+    dw_path = (suffix + base[:, :, None, :]) * active[..., None]  # (K,B,Laug,S)
+    dn_path = cat(active).astype(f32) * n_per_visit  # (B,K*Laug)
 
     hi = jax.lax.Precision.HIGHEST
     dn = jnp.einsum("bl,blt->bt", dn_path, onehotP, preferred_element_type=f32)
-    dw = jnp.einsum("bls,blt->bts", flatL(dw_path), onehotP,
+    dw = jnp.einsum("bls,blt->bts", cat(dw_path), onehotP,
                     preferred_element_type=f32, precision=hi)
 
     # edge deltas over parent positions: drop each path's last level (leaf),
     # child coefficients come from level l+1
-    onehotP_par = aP4[:, :, :L, :].reshape(B, K * L, T)
-    child_active = active[:, :, 1:]  # (B,K,L)
+    onehotP_par = cat(aP[:, :, :L, :])  # (B,K*L,T)
+    child_active = active[:, :, 1:]  # (K,B,L)
     onehotA = (
-        jax.nn.one_hot(jnp.clip(a_lvl[:, :, :L].reshape(B, K * L), 0), A,
-                       dtype=jnp.bfloat16)
-        * flatL(child_active)[:, :, None]
+        jax.nn.one_hot(jnp.clip(cat(a_lvl[:, :, :L]), 0), A, dtype=jnp.bfloat16)
+        * cat(child_active)[:, :, None]
     )  # (B,K*L,A)
     seat_oh = jax.nn.one_hot(
-        jnp.clip(seat_path.reshape(B, K, Laug)[:, :, :L], 0, S - 1),
-        S, dtype=f32)  # (B,K,L,S)
-    we_coef = (dw_path[:, :, 1:, :] * seat_oh).sum(-1)  # (B,K,L)
-    ne_coef = child_active.astype(f32) * n_per_visit  # (B,K,L)
+        jnp.clip(jnp.moveaxis(seat_path.reshape(B, K, Laug), 1, 0)[:, :, :L], 0, S - 1),
+        S, dtype=f32)  # (K,B,L,S)
+    we_coef = (dw_path[:, :, 1:, :] * seat_oh).sum(-1)  # (K,B,L)
+    ne_coef = child_active.astype(f32) * n_per_visit  # (K,B,L)
 
     # d_ne accumulates integer visit deltas <= K*n_per_visit per edge —
     # exact in bf16, and the bf16 output halves the (B,T,A) materialization
     d_ne = jnp.einsum("blt,bla->bta", onehotP_par,
-                      onehotA * flatL(ne_coef)[..., None].astype(jnp.bfloat16),
+                      onehotA * cat(ne_coef)[..., None].astype(jnp.bfloat16),
                       preferred_element_type=jnp.bfloat16)
     d_we = jnp.einsum("blt,bla->bta", onehotP_par,
-                      onehotA.astype(f32) * flatL(we_coef)[..., None],
+                      onehotA.astype(f32) * cat(we_coef)[..., None],
                       preferred_element_type=f32, precision=hi)
 
     return _apply_path_deltas(tree, dn, dw, d_ne, d_we)
