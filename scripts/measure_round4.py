@@ -1,12 +1,15 @@
-"""Round-4 chip measurements: the solve-rows Pallas kernel and the padded-walk
-grow mode, against the round-3 production default. Host-fetch fenced (the
+"""Round-4 chip measurements of full-search variants, host-fetch fenced (the
 axon backend's block_until_ready returns early — round-3 finding).
 
 Variants (full 64-node 9x9 512x4 bf16 search, K=8):
-  r3-prod      — scan + pallas walk, XLA solve (round-3 default, 516ms @16k)
-  scan-ksolve  — scan + pallas walk + solve kernel
+  r3-prod      — scan + pallas walk, XLA solve (round-3 default, ~520ms @16k)
+  scan-ksolve  — scan + pallas walk + solve kernel (probs output)
+  scan-asolve  — scan + alpha-only solve kernel (best scan variant)
   grow-xsolve  — triangular passes + PADDED pallas walk, XLA solve
-  grow-ksolve  — triangular passes + padded walk + solve kernel (per-R)
+                 (the round-4 production default path)
+  grow-ksolve / grow-asolve — grow + solve kernel (probs / alpha output;
+                 both chip-measured SLOWER than grow-xsolve)
+  walk128/256/512 — walk-kernel block sweep on the grow path
   rows256/512/1024 — solve-kernel block sweep on the scan path
 
 Usage: python scripts/measure_round4.py [n_envs] [variants...]
