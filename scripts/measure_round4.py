@@ -50,6 +50,12 @@ def main():
         "grow-asolve": dataclasses.replace(base, grow_passes=True,
                                            pallas_solve="alpha"),
         "scan-asolve": dataclasses.replace(base, pallas_solve="alpha"),
+        "grow-k16": dataclasses.replace(base, grow_passes=True,
+                                        pallas_solve=False,
+                                        leaves_per_pass=16),
+        "grow-k4": dataclasses.replace(base, grow_passes=True,
+                                       pallas_solve=False,
+                                       leaves_per_pass=4),
         "walk128": dataclasses.replace(base, grow_passes=True,
                                        pallas_solve=False,
                                        pallas_walk_envs=128),
