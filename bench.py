@@ -68,9 +68,9 @@ def bench_mcts(n_envs, boardsize, width, depth, n_nodes, reps=3):
         dtype="bfloat16", tree_dtype="bfloat16",
         # batched multi-leaf search in triangular grow mode with the padded
         # Pallas walk — the fastest measured chip config
-        # (scripts/measure_round4.py: 295ms per 64-node search at 16k envs
-        # = 3.5M sims/s, vs 516ms for round-3's scan mode and 258k sims/s
-        # for the reference-exact sequential walk)
+        # (scripts/measure_round4.py at 16k envs: 0.2435s per 64-node search
+        # = 4.24M sims/s with all round-4 fixes, vs 0.516s for round-3's
+        # scan mode and ~258k sims/s for the reference-exact sequential walk)
         leaves_per_pass=8 if n_nodes > 16 else 1,
         use_pallas=False if n_nodes > 16 else None,
         grow_passes=n_nodes > 16,
@@ -154,6 +154,10 @@ def main():
                 "mcts_sims_per_s": round(sims_rate, 1),
                 "mcts_sample_per_s": round(sample_rate, 1),
                 "n_envs": env_envs,
+                # the MCTS numbers are measured at the STATUS.md headline
+                # config's env count (16k), not the env-bench's 32k — record
+                # it so the two metrics can't be conflated (r4 VERDICT #8)
+                "mcts_n_envs": mcts_envs,
                 "timing": f"best-of-{env_reps} (env), best-of-{mcts_reps} (mcts)",
                 "platform": jax.devices()[0].platform,
             }

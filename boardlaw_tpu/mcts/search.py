@@ -128,9 +128,13 @@ class MCTSConfig:
     # the pointer-chase walk kernel: None = auto (on on TPU when the env
     # count divides), True/False force, 'interpret' for CPU testing
     pallas_walk: object = None
-    # 64-env blocks: the T-level unrolled chase holds ~T live (E,T) i32
-    # vectors; E=256 blows the 16MB scoped-VMEM stack limit (measured 22.5M)
-    pallas_walk_envs: int = 256  # max block; clamped to a per-shard divisor (chip sweep: 256 ~5% over 64 at 16k envs)
+    # Env block size. The current kernel chases pointers in a fixed-carry
+    # while_loop holding a handful of (E,T) i32/bool carries, so VMEM stays
+    # a few hundred KB even at E=256 (chip sweep: 256 ~5% over 64 at 16k
+    # envs — fewer grid launches). The old T-level UNROLLED chase kept ~T
+    # live (E,T) vectors and blew the 16MB scoped-VMEM stack at E=256
+    # (measured 22.5M) — that constraint died with it.
+    pallas_walk_envs: int = 256  # max block; clamped to a per-shard divisor
     mesh: object = None  # jax.sharding.Mesh — shard kernels via shard_map
     mesh_axis: str = "dp"
 
@@ -659,7 +663,7 @@ def _sample_children_multi(tree, probs, rands, cum_mode="matmul"):
         # all K counts from ONE stacked compare+reduce — a per-k loop emits K
         # reduce kernels that each re-read the (B,T,A) f32 cum tensor (545MB
         # at the 16k-env flagship); stacked, XLA reads it once per fusion
-        # (chip-verified bit-identical to the loop, scripts/micro_bench7.py)
+        # (chip-verified bit-identical to the loop, scripts/archive/micro_bench7.py)
         cnt = jnp.sum(cum[None] < rands[..., None], -1).astype(jnp.int32)
         acts = jnp.clip(cnt, first_pos[None], last_pos[None])  # (K,B,T)
         # child lookups stay per-draw compare+reduce over the int8 children
@@ -1375,7 +1379,17 @@ def simulate_multi(tree, eval_fn, key, cfg: MCTSConfig, max_levels=None,
     ohL = jax.nn.one_hot(leaves, T, dtype=bf16) * write[:, :, None]  # (K,B,T)
 
     def _route_dtype(dtype):
-        return f32 if dtype in (jnp.float32, jnp.float64) else idx_ct
+        # bf16 routing is exactness-safe only when every routed VALUE fits
+        # bf16's 8-bit mantissa. The idx_ct guard bounds node/action INDICES
+        # (T, A <= 256) but says nothing about world payload ranges — a wide
+        # integer world field (e.g. an int32 env-id or move counter) can hold
+        # values > 256 that bf16 silently rounds to even. So: only bool,
+        # sub-byte integers (< 2^8 by type) and bf16 itself ride idx_ct;
+        # every other dtype routes through f32 (exact to 2^24).
+        dt = jnp.dtype(dtype)
+        if dt == jnp.bfloat16 or dt.kind == "b" or (dt.kind in "iu" and dt.itemsize == 1):
+            return idx_ct
+        return f32
 
     # children pointers: one contraction for mask and value (write-deduped,
     # so every (t,a) cell has at most one contributor)

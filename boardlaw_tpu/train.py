@@ -428,14 +428,16 @@ def run(
     psum gradient reduction per step — see parallel/mesh.py); the reference
     has no in-run analog (it scales by whole runs per GPU).
 
-    Boardsizes >= 7 default to the batched K=8 multi-leaf search — validated
-    Elo-equivalent to K=1 at equal sample budget (results/k_parity: 45.9%
-    head-to-head over 512 games, within the 2-sigma band) and ~6x faster
-    (flagship 32k-env step 6.65s -> 1.08s). Pass leaves_per_pass=1 for the
-    reference-exact sequential search. K>1 also defaults to the triangular
-    grow-passes mode with the padded Pallas walk — distribution-identical to
-    the scan path and 1.75x faster end-to-end (295ms vs 516ms per 64-node
-    search at 16k envs, scripts/measure_round4.py).
+    Boardsizes >= 7 default to the batched K=8 multi-leaf search. Equal-budget
+    7x7 head-to-head vs K=1 measured 45.9% over 512 games — inside the 2-sigma
+    binomial band, though a small (few-Elo) tax can't be excluded at that
+    sample size (results/k_parity). It is ~10x faster: the flagship 32k-env
+    9x9 train step is 0.637s (51.4k samples/s) vs 6.65s at K=1 (round-4
+    numbers, STATUS.md). Pass leaves_per_pass=1 for the reference-exact
+    sequential search. K>1 also defaults to the triangular grow-passes mode
+    with the padded Pallas walk — distribution-identical to the scan path and
+    ~2.1x faster end-to-end (0.2435s vs 0.516s per 64-node search at 16k
+    envs, scripts/measure_round4.py).
     """
     if boardsize >= 7:
         overrides.setdefault("leaves_per_pass", 8)

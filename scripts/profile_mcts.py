@@ -206,7 +206,7 @@ def main():
 
     # Batched multi-leaf pass: K leaves per pass, CHUNK passes chained.
     # NOTE the host-sync quantum of this runtime (~32ms per jitted call,
-    # scripts/micro_bench4.py): component timings at CHUNK=8 carry a ~4ms/step
+    # scripts/archive/micro_bench4.py): component timings at CHUNK=8 carry a ~4ms/step
     # inflation; only multi-ms numbers are trustworthy.
     K = 8
     mcfg_multi = dataclasses.replace(mcfg, leaves_per_pass=K, use_pallas=False)

@@ -4,7 +4,7 @@ relative to round 1, not to the hardware').
 
 Pure host-side arithmetic from shapes and dtypes — no jax. Pair the printed
 bytes/FLOPs with measured per-scope times (scripts/trace_multi.py /
-measure_round3.py) to get achieved fractions of peak.
+archive/measure_round3.py) to get achieved fractions of peak.
 
 v5e peaks (public): 197 TFLOP/s bf16 MXU, ~394 TFLOP/s int8, 819 GB/s HBM.
 """
