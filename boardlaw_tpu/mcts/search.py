@@ -88,6 +88,16 @@ class MCTSConfig:
     # default OFF in this mode (8 Mosaic variants are not worth it — the
     # XLA walk caps at p+2 levels here).
     grow_passes: bool = False
+    # Multi-leaf backup formulation. 'prefix' (default): maintain a per-node
+    # cumulative-reward-from-root tensor (Tree.prew) so each path's value
+    # contribution collapses to a per-path constant C_k minus a node-local
+    # prefix — the backup then needs NO per-level one-hot contractions at
+    # all, just (K,B,T)-shaped masks and two fused compare-accumulate
+    # streams over the edge tensors (~roofline traffic). 'einsum' = the
+    # round-4 formulation (path one-hots + suffix-sum matmuls), kept as the
+    # executable spec the prefix path is tested against. K=1 always uses the
+    # original per-path backup for bit-parity with the sequential reference.
+    backup_mode: str = "prefix"
     tree_dtype: object = jnp.float32  # storage dtype for logits
     # Compact tree bookkeeping: int8 child pointers (valid while n_nodes<=127)
     # and bf16 edge visit counts (exact while total visits<=256, i.e.
@@ -258,6 +268,11 @@ class Tree(struct.PyTreeNode):
     # (stats change only along one backup path per sim). None = cold start
     # (tests building raw trees).
     alpha: object = None
+    # Cumulative rewards root->node INCLUSIVE, (B,T,S) f32 — maintained
+    # incrementally at expansion (prew[leaf] = prew[parent] + rewards) and
+    # consumed by the 'prefix' backup (see MCTSConfig.backup_mode). None
+    # when the einsum backup (or K=1) is in use.
+    prew: object = None
 
 
 def build(world, cfg: MCTSConfig):
@@ -298,6 +313,10 @@ def build(world, cfg: MCTSConfig):
         # warm gate (0 <= floor), so the first pass runs the cold init
         alpha=(jnp.zeros((B, T), jnp.float32)
                if (K > 1 and cfg.warm_solve) else None),
+        # root row: no ancestors, no own reward -> 0 (rewards[root] is never
+        # written); only allocated when the prefix backup will consume it
+        prew=(jnp.zeros((B, T, S), jnp.float32)
+              if (K > 1 and cfg.backup_mode == "prefix") else None),
     )
 
 
@@ -1140,6 +1159,83 @@ def backup_paths(tree, paths, acts, leaves, n_per_visit):
     return _apply_path_deltas(tree, dn, dw, d_ne, d_we)
 
 
+def backup_paths_prefix(tree, paths, acts, leaves, n_per_visit):
+    """`backup_paths` via the cumulative-reward prefix identity — same
+    results (n/n_edge exact; w/w_edge to f32 roundoff from the different
+    summation order), at ~roofline memory traffic.
+
+    With P[t] = cumulative rewards root->t inclusive (Tree.prew, maintained
+    at expansion) and interior path nodes never terminal (the walk only
+    descends into non-terminal children), the leaf->root value recursion
+    collapses: the backed-up value AT path node t is
+
+        V_k(t) = C_k - (P[t] - rew[t]),   C_k = base_k + P[leaf_k]
+
+    where base_k is the leaf value (0 if the leaf is terminal) — a per-PATH
+    constant minus a node-LOCAL prefix. Level indices drop out entirely, so
+    the backup needs none of the (B, K*L, T) path one-hots or suffix-sum
+    matmuls of `backup_paths`:
+
+      dn[t]      = npv * #{k : t on path k or leaf_k = t}
+      dw[t]      = sum_k aug_k(t) * C_k  -  cnt(t) * (P[t] - rew[t])
+      d_ne[t,a]  = npv * sum_k on_path_k(t) * [acts[k,t] = a]
+      d_we[t,a]  = sum_k on_path_k(t) * [acts[k,t] = a] * (C_k - P[t])[seat(t)]
+
+    (the edge value uses P INCLUSIVE of the parent because the child's
+    exclusive prefix equals the parent's inclusive one). Each output is one
+    fused compare-accumulate over the small (K,B,T) operands — acts, path
+    masks and per-path constants — streamed once, broadcast along the lane
+    axis for free; the big (B,T,A) edge tensors are read+written once by the
+    += apply. Chip-measured TODO(r5 bench).
+    """
+    K, B, L = paths.shape
+    T = tree.terminal.shape[-1]
+    A = tree.children.shape[-1]
+    S = tree.w.shape[-1]
+    f32 = jnp.float32
+
+    iota_t = jnp.arange(T)
+    # interior path membership (root..parent; `_walk` never records the leaf)
+    on_path = (paths[:, :, :, None] == iota_t).any(2)  # (K,B,T)
+    # every draw contributes a leaf visit — dedup'd draws share a slot and
+    # stack up, exactly as K sequential backups would
+    oh_leaf = jax.nn.one_hot(leaves, T, dtype=f32)  # (K,B,T)
+
+    prew = tree.prew.astype(f32)  # (B,T,S)
+    # per-path constants from the POST-write tree (new leaves' v/rewards/
+    # terminal/prew rows were written by this pass)
+    v_leaf = jnp.einsum("kbt,bts->kbs", oh_leaf, tree.v.astype(f32),
+                        preferred_element_type=f32)
+    p_leaf = jnp.einsum("kbt,bts->kbs", oh_leaf, prew,
+                        preferred_element_type=f32)
+    term_leaf = jnp.einsum("kbt,bt->kb", oh_leaf, tree.terminal.astype(f32),
+                           preferred_element_type=f32) > 0.5
+    C = jnp.where(term_leaf[:, :, None], 0.0, v_leaf) + p_leaf  # (K,B,S)
+
+    onf = on_path.astype(f32)
+    aug = onf + oh_leaf  # (K,B,T) path-or-leaf multiplicity (0/1 per k)
+    cnt = aug.sum(0)  # (B,T)
+    dn = cnt * n_per_visit
+
+    pex = prew - tree.rewards.astype(f32)  # strict-ancestor prefix (B,T,S)
+    sumC = (aug[:, :, :, None] * C[:, :, None, :]).sum(0)  # (B,T,S)
+    dw = sumC - cnt[:, :, None] * pex
+
+    # edge coefficients at the parent's seat
+    seat_oh = jax.nn.one_hot(jnp.clip(tree.seats, 0, S - 1), S, dtype=f32)
+    Cs = (C[:, :, None, :] * seat_oh[None]).sum(-1)  # (K,B,T)
+    Ps = (prew * seat_oh).sum(-1)  # (B,T)
+    coefw = Cs - Ps[None]  # (K,B,T)
+
+    # fused compare-accumulate: acts/on_path/coefw broadcast along the lane
+    # axis inside the fusion — no (K,B,T,A) materialization
+    hit = on_path[:, :, :, None] & (acts[:, :, :, None] == jnp.arange(A))
+    d_ne = jnp.sum(jnp.where(hit, jnp.float32(n_per_visit), 0.0), axis=0)
+    d_we = jnp.sum(jnp.where(hit, coefw[:, :, :, None], 0.0), axis=0)
+
+    return _apply_path_deltas(tree, dn, dw, d_ne, d_we)
+
+
 # --------------------------------------------------------------------------
 # Simulation step and driver
 # --------------------------------------------------------------------------
@@ -1231,7 +1327,7 @@ def simulate(tree, eval_fn, key, cfg: MCTSConfig):
 
 
 def simulate_multi(tree, eval_fn, key, cfg: MCTSConfig, max_levels=None,
-                   pad_walk_to=None):
+                   pad_walk_to=None, return_backup_inputs=False):
     """One batched-MCTS pass: K = cfg.leaves_per_pass leaves descend, expand
     and back up together, sharing ONE all-node policy solve and ONE net eval
     over the K*B leaf worlds (the amortization the reference cannot do — its
@@ -1436,7 +1532,16 @@ def simulate_multi(tree, eval_fn, key, cfg: MCTSConfig, max_levels=None,
         return jnp.where(mask, val.astype(full.dtype), full)
 
     unflat = lambda x: x.reshape((K, B) + x.shape[1:])
+    upd = {}
     with jax.named_scope("writes"):
+        if tree.prew is not None:
+            # cumulative-reward maintenance for the prefix backup: the new
+            # leaf's prefix = its parent's (inclusive) prefix + its own
+            # reward. (B,T,S) with S tiny — one small extra gather+write.
+            p_par = jnp.einsum("kbt,bts->kbs", ohP.astype(f32),
+                               tree.prew.astype(f32), preferred_element_type=f32)
+            upd["prew"] = set_rows(
+                tree.prew, p_par + unflat(transition.rewards).astype(f32))
         tree = tree.replace(
             children=children,
             parents=set_rows(tree.parents, jnp.broadcast_to(parents, (K, B))),
@@ -1450,10 +1555,19 @@ def simulate_multi(tree, eval_fn, key, cfg: MCTSConfig, max_levels=None,
             logits=set_rows(tree.logits, unflat(_clamp_logits(decisions["logits"]))),
             v=set_rows(tree.v, unflat(decisions["v"])),
             sim=tree.sim + K,
+            **upd,
         )
 
     n_per_visit = tree.w.shape[-1] if cfg.backup_n == "seats" else 1
+    if return_backup_inputs:
+        # test hook: the post-write tree plus the exact backup inputs, so
+        # parity tests can jit this and compare backup formulations on
+        # concrete arrays (an unjitted mcts() is unusable here — the
+        # remote-compile hook costs ~0.4s per eager op)
+        return tree, paths, acts, leaves, n_per_visit
     with jax.named_scope("backup"):
+        if K > 1 and tree.prew is not None:
+            return backup_paths_prefix(tree, paths, acts, leaves, n_per_visit)
         return backup_paths(tree, paths, acts, leaves, n_per_visit)
 
 
@@ -1486,6 +1600,8 @@ def _slice_tree(tree, R):
     upd["worlds"] = jax.tree.map(lambda x: x[:, :R], tree.worlds)
     if tree.alpha is not None:
         upd["alpha"] = tree.alpha[:, :R]
+    if tree.prew is not None:
+        upd["prew"] = tree.prew[:, :R]
     return tree.replace(**upd)
 
 
@@ -1527,6 +1643,8 @@ def _pad_tree(tree, R):
     )
     if tree.alpha is not None:
         upd["alpha"] = pad_const(tree.alpha, 0)
+    if tree.prew is not None:
+        upd["prew"] = pad_const(tree.prew, 0)
     return tree.replace(**upd)
 
 

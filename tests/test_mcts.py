@@ -721,3 +721,205 @@ def test_dirichlet_noise_matches_reference_semantics():
     pure = np.exp(np.asarray(f(1.0)))
     np.testing.assert_allclose(pure.sum(-1), 1.0, atol=1e-5)
     assert (pure[~np.asarray(valid)] == 0).all()
+
+
+# --------------------------------------------------------------------------
+# Prefix backup (backup_mode='prefix', Tree.prew)
+# --------------------------------------------------------------------------
+
+from flax import struct as _struct
+from boardlaw_tpu.envs.base import Transition as _Transition
+from boardlaw_tpu.envs.base import Tensor as _Tensor, Masked as _Masked
+
+
+class StepRewardGame(_struct.PyTreeNode):
+    """Synthetic 2-seat game with NON-TERMINAL rewards: every ply pays the
+    acting seat (action+1)/8, terminal after 6 plies (which also pays +1 to
+    seat 0). Exists purely to exercise the cumulative-reward prefix (Hex and
+    the validation games only reward at termination, where Tree.prew stays
+    identically zero)."""
+
+    count: jnp.ndarray  # (B,) plies played
+
+    @classmethod
+    def initial(cls, n_envs):
+        return cls(count=jnp.zeros((n_envs,), jnp.int32))
+
+    @property
+    def n_envs(self):
+        return self.count.shape[0]
+
+    @property
+    def n_seats(self):
+        return 2
+
+    @property
+    def obs_space(self):
+        return _Tensor((1,))
+
+    @property
+    def action_space(self):
+        return _Masked(3)
+
+    @property
+    def valid(self):
+        return jnp.ones((self.n_envs, 3), bool)
+
+    @property
+    def seats(self):
+        return (self.count % 2).astype(jnp.int32)
+
+    @property
+    def obs(self):
+        return (self.count[:, None] / 6.0).astype(jnp.float32)
+
+    def step(self, actions):
+        seat_oh = jax.nn.one_hot(self.seats, 2, dtype=jnp.float32)
+        rewards = seat_oh * (actions[:, None] + 1.0) / 8.0
+        count = self.count + 1
+        terminal = count >= 6
+        rewards = rewards + terminal[:, None] * jnp.array([1.0, 0.0])
+        count = jnp.where(terminal, 0, count)
+        return self.replace(count=count), _Transition(
+            terminal=terminal, rewards=rewards)
+
+
+def _prefix_backup_inputs(world, cfg, key):
+    """Drive the multi-leaf search pass by pass (mirroring mcts()'s grow and
+    scan drivers), capturing each pass's CONCRETE backup inputs via
+    simulate_multi(return_backup_inputs=True) and advancing with the real
+    prefix backup — everything jitted (an unjitted mcts() is unusable under
+    the remote-compile hook). Returns [(tree, paths, acts, leaves, npv)]."""
+    agent = validation.RandomAgent()
+    tree = M.search.build(world, cfg)
+    k_init, k_sims = jax.random.split(key)
+    d = agent(world, None)
+    tree = jax.jit(
+        lambda t, de, k, v: M.search.initialize(t, de, k, cfg, v)
+    )(tree, d, k_init, world.valid)
+
+    K = cfg.leaves_per_pass
+    T = tree.children.shape[1]
+    n_passes = -(-(cfg.n_nodes - 1) // K)
+    step = jax.jit(
+        lambda t, k, ml, pw: M.search.simulate_multi(
+            t, agent, k, cfg, max_levels=ml, pad_walk_to=pw,
+            return_backup_inputs=True),
+        static_argnums=(2, 3))
+    bk = jax.jit(M.search.backup_paths_prefix, static_argnums=(4,))
+
+    captured = []
+    if cfg.grow_passes:
+        sub = M.search._slice_tree(tree, min(T, 1 + K))
+        for p in range(n_passes):
+            R = min(T, 1 + (p + 1) * K)
+            if sub.parents.shape[1] < R:
+                sub = jax.jit(M.search._pad_tree, static_argnums=1)(sub, R)
+            out = step(sub, jax.random.fold_in(k_sims, p), p + 2, T)
+            out = (*out[:4], int(out[4]))  # npv exits jit as a device scalar
+            captured.append(out)
+            sub = bk(*out)
+    else:
+        for p in range(n_passes):
+            out = step(tree, jax.random.fold_in(k_sims, p), None, None)
+            out = (*out[:4], int(out[4]))
+            captured.append(out)
+            tree = bk(*out)
+    assert captured, "prefix backup was never dispatched"
+    return captured
+
+
+@pytest.mark.parametrize("grow", [False, True])
+def test_backup_prefix_matches_einsum_hex(grow):
+    # every pass of a real 5x5 multi-leaf search: the prefix backup must
+    # reproduce the einsum backup's deltas (n/n_edge exactly, w/w_edge to
+    # f32 roundoff)
+    world = hex.Hex.initial(n_envs=16, boardsize=5)
+    cfg = M.MCTSConfig(n_nodes=21, leaves_per_pass=4, use_pallas=False,
+                       grow_passes=grow)
+    for tree, paths, acts, leaves, npv in _prefix_backup_inputs(
+            world, cfg, jax.random.PRNGKey(7)):
+        new = M.search.backup_paths_prefix(tree, paths, acts, leaves, npv)
+        old = M.search.backup_paths(tree, paths, acts, leaves, npv)
+        np.testing.assert_array_equal(np.asarray(new.n), np.asarray(old.n))
+        np.testing.assert_array_equal(
+            np.asarray(new.n_edge, np.float32), np.asarray(old.n_edge, np.float32))
+        np.testing.assert_allclose(
+            np.asarray(new.w), np.asarray(old.w), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(new.w_edge, np.float32),
+            np.asarray(old.w_edge, np.float32), atol=1e-5)
+
+
+def test_backup_prefix_matches_einsum_interior_rewards():
+    # same parity on a game whose interior nodes carry rewards, so the
+    # prew maintenance (parent prefix + own reward at expansion) is live
+    world = StepRewardGame.initial(n_envs=24)
+    cfg = M.MCTSConfig(n_nodes=25, leaves_per_pass=4, use_pallas=False,
+                       grow_passes=True)
+    calls = _prefix_backup_inputs(world, cfg, jax.random.PRNGKey(3))
+    saw_nonzero_prew = False
+    for tree, paths, acts, leaves, npv in calls:
+        saw_nonzero_prew = saw_nonzero_prew or bool(
+            (np.abs(np.asarray(tree.prew)) > 0).any())
+        new = M.search.backup_paths_prefix(tree, paths, acts, leaves, npv)
+        old = M.search.backup_paths(tree, paths, acts, leaves, npv)
+        np.testing.assert_array_equal(np.asarray(new.n), np.asarray(old.n))
+        np.testing.assert_array_equal(
+            np.asarray(new.n_edge, np.float32), np.asarray(old.n_edge, np.float32))
+        np.testing.assert_allclose(
+            np.asarray(new.w), np.asarray(old.w), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(new.w_edge, np.float32),
+            np.asarray(old.w_edge, np.float32), atol=1e-5)
+    assert saw_nonzero_prew, "interior rewards never reached prew"
+
+
+def test_backup_prefix_prew_invariant():
+    # after a full search, prew[t] must equal the sum of rewards along the
+    # root->t chain (inclusive) for every expanded node
+    world = StepRewardGame.initial(n_envs=8)
+    cfg = M.MCTSConfig(n_nodes=17, leaves_per_pass=4, use_pallas=False,
+                       grow_passes=True)
+    agent = validation.RandomAgent()
+    tree = M.search.mcts(world, agent, jax.random.PRNGKey(11), cfg)
+    parents = np.asarray(tree.parents)
+    rewards = np.asarray(tree.rewards)
+    prew = np.asarray(tree.prew)
+    B, T = parents.shape
+    for b in range(B):
+        for t in range(T):
+            if t > 0 and parents[b, t] < 0:
+                continue  # unexpanded slot
+            acc, cur = np.zeros(rewards.shape[-1]), t
+            while cur >= 0:
+                acc += rewards[b, cur]
+                cur = parents[b, cur]
+            np.testing.assert_allclose(prew[b, t], acc, atol=1e-5,
+                                       err_msg=f"env {b} node {t}")
+
+
+def test_backup_prefix_planted_game():
+    # end-to-end semantics: the default (prefix) search still solves the
+    # planted 3x3 position and recovers the exact planted value
+    world = hex.from_string("""
+    wb.
+    bw.
+    wb.
+    """)
+    agent = validation.RandomAgent()
+    cfg = M.MCTSConfig(n_nodes=63, c_puct=1.0, noise_eps=0.0,
+                       leaves_per_pass=4, use_pallas=False, grow_passes=True,
+                       backup_mode="prefix")
+    r = jax.jit(lambda w, k: M.root(M.mcts(w, agent, k, cfg)))(
+        world, jax.random.PRNGKey(3))
+    probs = np.exp(np.asarray(r["logits"][0]))
+    assert probs[2] > probs[8] and probs[5] > probs[7]
+
+    world2 = validation.All.initial(n_envs=2, length=3)
+    cfg2 = M.MCTSConfig(n_nodes=15, noise_eps=0.0, leaves_per_pass=2,
+                        use_pallas=False, grow_passes=True)
+    tree = jax.jit(lambda w, k: M.search.mcts(w, validation.ProxyAgent(), k, cfg2))(
+        world2, jax.random.PRNGKey(1))
+    r2 = M.root(tree)
+    np.testing.assert_allclose(np.asarray(r2["v"]), [[1 / 8], [1 / 8]], atol=1e-5)
