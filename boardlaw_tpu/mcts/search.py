@@ -98,6 +98,17 @@ class MCTSConfig:
     # executable spec the prefix path is tested against. K=1 always uses the
     # original per-path backup for bit-parity with the sequential reference.
     backup_mode: str = "prefix"
+    # Multi-leaf leaf-row write routing. 'select': a chain of K masked
+    # selects per field — XLA fuses the chain into ONE stream of the
+    # (B,T,F) tensor with the (K,B,F) payloads rider-read (no one-hot
+    # matmul, no routed val materialization). 'einsum': the round-4 one-hot
+    # contraction form. Both exact; chip A/B decides the default.
+    write_mode: str = "select"
+    # Multi-leaf parent-row world gather. 'einsum': one-hot contraction
+    # streaming each (B,T,F) leaf once for all K. 'take': a batched
+    # take_along_axis of the K parent rows per env (XLA gather op). Both
+    # exact; chip A/B decides the default.
+    gather_mode: str = "einsum"
     tree_dtype: object = jnp.float32  # storage dtype for logits
     # Compact tree bookkeeping: int8 child pointers (valid while n_nodes<=127)
     # and bf16 edge visit counts (exact while total visits<=256, i.e.
@@ -1487,18 +1498,37 @@ def simulate_multi(tree, eval_fn, key, cfg: MCTSConfig, max_levels=None,
             return idx_ct
         return f32
 
-    # children pointers: one contraction for mask and value (write-deduped,
-    # so every (t,a) cell has at most one contributor)
-    ohPw = ohP * write[:, :, None]
-    mask_e = jnp.einsum("kbt,kba->bta", ohPw, ohA, preferred_element_type=bf16)
-    val_e = jnp.einsum("kbt,kba->bta", ohPw.astype(idx_ct),
-                       ohA.astype(idx_ct) * leaves[:, :, None].astype(idx_ct),
-                       preferred_element_type=idx_ct)
-    children = jnp.where(mask_e > 0.5, val_e.astype(tree.children.dtype), tree.children)
+    # children pointers (write-deduped, so every (t,a) cell has at most one
+    # contributor): select-chain or one-hot contraction per write_mode
+    if cfg.write_mode == "select":
+        children = tree.children
+        iota_Tc = jnp.arange(T)
+        iota_A = jnp.arange(A)
+        for k in range(K):
+            cell = ((iota_Tc == parents[k][:, None])[:, :, None]
+                    & (iota_A == actions[k][:, None])[:, None, :]
+                    & write[k][:, None, None])
+            children = jnp.where(
+                cell, leaves[k][:, None, None].astype(children.dtype), children)
+    else:
+        ohPw = ohP * write[:, :, None]
+        mask_e = jnp.einsum("kbt,kba->bta", ohPw, ohA, preferred_element_type=bf16)
+        val_e = jnp.einsum("kbt,kba->bta", ohPw.astype(idx_ct),
+                           ohA.astype(idx_ct) * leaves[:, :, None].astype(idx_ct),
+                           preferred_element_type=idx_ct)
+        children = jnp.where(mask_e > 0.5, val_e.astype(tree.children.dtype),
+                             tree.children)
 
-    # leaf worlds: gather the K parent rows by one-hot contraction (the big
-    # tensors stream once for all K), step them, evaluate in one K*B batch
+    # leaf worlds: gather the K parent rows (one-hot contraction streaming
+    # each big tensor once for all K, or a batched row gather — see
+    # MCTSConfig.gather_mode), step them, evaluate in one K*B batch
+    parents_bk = jnp.moveaxis(parents, 0, 1)  # (B,K); parents are always >=0
+
     def gather_rows(full):  # (B,T,...) -> (K,B,...)
+        if cfg.gather_mode == "take":
+            idx = parents_bk.reshape((B, K) + (1,) * (full.ndim - 2))
+            out = jnp.take_along_axis(full, idx.astype(jnp.int32), axis=1)
+            return jnp.moveaxis(out, 1, 0)
         ct = _route_dtype(full.dtype)
         flat = full.reshape(B, T, -1).astype(ct)
         out = jnp.einsum("kbt,btf->kbf", ohP.astype(ct), flat,
@@ -1516,13 +1546,29 @@ def simulate_multi(tree, eval_fn, key, cfg: MCTSConfig, max_levels=None,
     # sums of K disjoint 0/1 lanes: exact in bf16 (K <= 2^8)
     row_mask = jnp.einsum("kbt->bt", ohL) > 0.5  # (B,T)
 
+    iota_T = jnp.arange(T)
+    # per-k leaf-row masks for the select-chain write mode (disjoint rows —
+    # ohL is write-deduped, so chain order is irrelevant)
+    sel_masks = (iota_T == leaves[:, :, None]) & write[:, :, None]  # (K,B,T)
+
     def set_rows(full, new_kb):
         # full (B,T,F...) <- new (K,B,F...) at the deduped leaf rows.
-        # NOTE: kept per-field (not packed into one einsum) — packing all
-        # payloads through one concatenated contraction measured 3% SLOWER
+        # NOTE: kept per-field (not packed into one concatenated form) —
+        # packing all payloads through one contraction measured 3% SLOWER
         # on chip (0.2495 -> 0.2581s/search): the concat materializes a
         # (K,B,sumF) copy that the per-field form lets XLA fuse away into
         # each producer.
+        if cfg.write_mode == "select":
+            # K masked selects fused into one elementwise stream: the big
+            # tensor is read+written once, the (K,B,F) payloads broadcast
+            # along the row axis inside the fusion — no one-hot matmul and
+            # no routed-val materialization (the einsum form traced ~21ms
+            # vs a ~4ms write roofline at the 16k-env flagship)
+            acc = full
+            for k in range(K):
+                mask = sel_masks[k].reshape((B, T) + (1,) * (full.ndim - 2))
+                acc = jnp.where(mask, new_kb[k][:, None].astype(full.dtype), acc)
+            return acc
         ct = _route_dtype(full.dtype)
         newf = new_kb.reshape(K, B, -1).astype(ct)
         val = jnp.einsum("kbt,kbf->btf", ohL.astype(ct), newf,

@@ -89,6 +89,8 @@ class TrainConfig:
     solve_iters: int = 6  # K>1 solve budget (see MCTSConfig)
     grow_passes: bool = False  # triangular multi-leaf passes (see MCTSConfig)
     backup_mode: str = "prefix"  # K>1 backup formulation (see MCTSConfig)
+    write_mode: str = "select"  # K>1 leaf-row write routing (see MCTSConfig)
+    gather_mode: str = "einsum"  # K>1 parent-row gather (see MCTSConfig)
     solve_accel: bool = True  # safeguarded-Halley acceleration
     warm_solve: bool = False  # K>1 warm-start (measured net loss, see MCTSConfig)
     sample_cum: str = "matmul"  # K>1 sampler prefix sum (see MCTSConfig)
@@ -117,6 +119,8 @@ class TrainConfig:
             leaves_per_pass=self.leaves_per_pass,
             grow_passes=self.grow_passes,
             backup_mode=self.backup_mode,
+            write_mode=self.write_mode,
+            gather_mode=self.gather_mode,
             solve_iters=self.solve_iters,
             solve_accel=self.solve_accel,
             warm_solve=self.warm_solve,

@@ -1,17 +1,23 @@
-"""K=8 vs K=1 learning-equivalence study (r2 VERDICT next-step #2a).
+"""K-vs-K learning-equivalence studies (r2 VERDICT #2a; r4 VERDICT #1).
 
 The batched multi-leaf search (K leaves per solve+eval pass,
 mcts/search.py::simulate_multi) deliberately diverges from K sequential
-reference sims. This study trains two otherwise-identical 7x7 128x4 agents to
-the SAME sample budget — one with the reference-exact K=1 search, one with
-the production K=8 search — then compares loss curves and plays them
-head-to-head, so the sims/s headline can carry a measured (not assumed)
+reference sims. This study trains otherwise-identical 7x7 128x4 agents to
+the SAME sample budget at different K, then compares loss curves and plays
+them head-to-head, so the sims/s headline can carry a measured (not assumed)
 sample-efficiency statement.
 
+Round-4 verdict on the original K=1-vs-K=8 design: 512 games is underpowered
+(a 1.86-sigma deficit was billed as parity). The comparison default is now
+>= 2048 games (two-sided 2-sigma band +-2.2%).
+
 Usage:
-    python scripts/k_parity_study.py train   [--envs 8192] [--steps 1500]
-    python scripts/k_parity_study.py compare [--h2h-envs 512]
-    python scripts/k_parity_study.py all
+    python scripts/k_parity_study.py train   [--ks 8,16] [--envs 8192] [--steps 1500]
+    python scripts/k_parity_study.py compare [--ks 8,16] [--h2h-envs 2048]
+    python scripts/k_parity_study.py all     [--ks 8,16]
+
+(The committed K=1-vs-K=8 study in results/k_parity used --ks 1,8 with the
+old 512-game default; results/k_parity_k16 holds the K=8-vs-K=16 study.)
 """
 import argparse
 import json
@@ -22,7 +28,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BOARD, WIDTH, DEPTH = 7, 128, 4
-OUTDIR = "results/k_parity"
+
+
+def outdir(ks):
+    return "results/k_parity" if ks == (1, 8) else f"results/k_parity_k{ks[1]}"
 
 
 def desc(k):
@@ -41,7 +50,7 @@ def existing_run(k):
 def train(args):
     from boardlaw_tpu import train as T
 
-    for k in (1, 8):
+    for k in args.ks:
         if existing_run(k):
             print(f"[k-parity] K={k} already trained: {existing_run(k)}", flush=True)
             continue
@@ -57,6 +66,7 @@ def train(args):
             tree_dtype="bfloat16",
             leaves_per_pass=k,
             use_pallas=False if k > 1 else None,
+            grow_passes=k > 1,
         )
         print(f"[k-parity] K={k} -> {run} ({time.time()-t0:.0f}s, "
               f"{args.steps} steps x {args.envs} envs)", flush=True)
@@ -70,9 +80,11 @@ def compare(args):
     from boardlaw_tpu.envs import hex
     from boardlaw_tpu.pavlov import stats
 
-    os.makedirs(OUTDIR, exist_ok=True)
-    runs_ = {k: existing_run(k) for k in (1, 8)}
+    out = outdir(args.ks)
+    os.makedirs(out, exist_ok=True)
+    runs_ = {k: existing_run(k) for k in args.ks}
     assert all(runs_.values()), f"train first (have {runs_})"
+    ka, kb = args.ks  # kb is the challenger whose parity is under test
 
     # loss curves: mean policy/value loss over the run, resampled
     curves = {}
@@ -81,38 +93,48 @@ def compare(args):
                              channels_=["loss.policy", "loss.value"])
         curves[k] = {c: df[c].dropna().tolist() for c in df.columns}
 
-    # head-to-head: latest snapshot of each, every seat permutation
+    # head-to-head: latest snapshot of each, every seat permutation. Chunked
+    # so h2h-envs can exceed what one batch of 64-node searches fits.
     agents = {f"K{k}": common.agent(run) for k, run in runs_.items()}
-    world = hex.Hex.initial(args.h2h_envs, BOARD)
-    results = common.evaluate(world, agents, key=jax.random.PRNGKey(7))
-
-    wins = {"K1": 0.0, "K8": 0.0}
+    wins = {f"K{ka}": 0.0, f"K{kb}": 0.0}
     games = 0.0
-    for r in results:
-        for name, w in zip(r["names"], r["wins"]):
-            wins[name] += w
-        games += r["games"]
-    k8_rate = wins["K8"] / max(games, 1)
+    done = 0
+    chunk = min(args.h2h_envs, args.h2h_chunk)
+    seed = 11
+    while done < args.h2h_envs:
+        n = min(chunk, args.h2h_envs - done)
+        world = hex.Hex.initial(n, BOARD)
+        results = common.evaluate(world, agents,
+                                  key=jax.random.PRNGKey(seed + done))
+        for r in results:
+            for name, w in zip(r["names"], r["wins"]):
+                wins[name] += w
+            games += r["games"]
+        done += n
+        print(f"[k-parity] h2h {done}/{args.h2h_envs} games={games:.0f}",
+              flush=True)
+    kb_rate = wins[f"K{kb}"] / max(games, 1)
     # binomial 2-sigma band around 0.5 for this many games
     band = 2 * 0.5 / np.sqrt(max(games, 1))
+    sigmas = (kb_rate - 0.5) / (0.5 / np.sqrt(max(games, 1)))
 
     summary = {
-        "runs": runs_,
-        "head_to_head": results,
-        "k8_winrate": round(k8_rate, 4),
+        "ks": list(args.ks),
+        "runs": {str(k): v for k, v in runs_.items()},
+        f"k{kb}_winrate": round(kb_rate, 4),
         "n_games": games,
         "two_sigma_band": round(band, 4),
-        "within_noise": bool(abs(k8_rate - 0.5) <= band),
+        "deficit_sigmas": round(-sigmas, 2),
+        "within_noise": bool(abs(kb_rate - 0.5) <= band),
         "final_loss": {
             f"K{k}": {c: (curves[k][c][-1] if curves[k][c] else None)
                       for c in curves[k]}
             for k in curves
         },
     }
-    with open(f"{OUTDIR}/summary.json", "w") as f:
+    with open(f"{out}/summary.json", "w") as f:
         json.dump(summary, f, indent=2)
-    print(json.dumps({k: v for k, v in summary.items() if k != "head_to_head"}),
-          flush=True)
+    print(json.dumps({k: v for k, v in summary.items()}), flush=True)
 
     try:
         import matplotlib
@@ -121,13 +143,13 @@ def compare(args):
 
         fig, axes = plt.subplots(1, 2, figsize=(10, 4))
         for ax, c in zip(axes, ["loss.policy", "loss.value"]):
-            for k in (1, 8):
+            for k in args.ks:
                 ax.plot(curves[k][c], label=f"K={k}")
             ax.set_title(c)
             ax.set_xlabel("minutes")
             ax.legend()
         fig.tight_layout()
-        fig.savefig(f"{OUTDIR}/loss_curves.png", dpi=120)
+        fig.savefig(f"{out}/loss_curves.png", dpi=120)
     except Exception as e:
         print(f"[k-parity] plot skipped: {e}", flush=True)
 
@@ -135,10 +157,15 @@ def compare(args):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("stage", choices=["train", "compare", "all"])
+    p.add_argument("--ks", default="8,16",
+                   help="comma pair: baseline,challenger (e.g. 1,8 or 8,16)")
     p.add_argument("--envs", type=int, default=8192)
     p.add_argument("--steps", type=int, default=1500)
-    p.add_argument("--h2h-envs", type=int, default=512)
+    p.add_argument("--h2h-envs", type=int, default=2048)
+    p.add_argument("--h2h-chunk", type=int, default=1024)
     args = p.parse_args()
+    args.ks = tuple(int(x) for x in args.ks.split(","))
+    assert len(args.ks) == 2
     if args.stage in ("train", "all"):
         train(args)
     if args.stage in ("compare", "all"):

@@ -923,3 +923,47 @@ def test_backup_prefix_planted_game():
         world2, jax.random.PRNGKey(1))
     r2 = M.root(tree)
     np.testing.assert_allclose(np.asarray(r2["v"]), [[1 / 8], [1 / 8]], atol=1e-5)
+
+
+@pytest.mark.parametrize("grow", [False, True])
+def test_write_mode_select_matches_einsum(grow):
+    # both routings are exact (select: direct masked writes; einsum: bf16
+    # one-hot contractions with every payload value < 2^8), so full searches
+    # must produce BIT-identICAL trees
+    world = hex.Hex.initial(n_envs=32, boardsize=5)
+    agent = validation.RandomAgent()
+    base = dict(n_nodes=21, leaves_per_pass=4, use_pallas=False,
+                grow_passes=grow)
+    t_sel = jax.jit(lambda w, k: M.search.mcts(
+        w, agent, k, M.MCTSConfig(write_mode="select", **base)))(
+        world, jax.random.PRNGKey(9))
+    t_ein = jax.jit(lambda w, k: M.search.mcts(
+        w, agent, k, M.MCTSConfig(write_mode="einsum", **base)))(
+        world, jax.random.PRNGKey(9))
+    np.testing.assert_array_equal(np.asarray(t_sel.children), np.asarray(t_ein.children))
+    np.testing.assert_array_equal(np.asarray(t_sel.parents), np.asarray(t_ein.parents))
+    np.testing.assert_array_equal(
+        np.asarray(t_sel.logits, np.float32), np.asarray(t_ein.logits, np.float32))
+    np.testing.assert_array_equal(np.asarray(t_sel.n), np.asarray(t_ein.n))
+    np.testing.assert_array_equal(np.asarray(t_sel.w), np.asarray(t_ein.w))
+    np.testing.assert_array_equal(
+        np.asarray(t_sel.n_edge, np.float32), np.asarray(t_ein.n_edge, np.float32))
+
+
+def test_gather_mode_take_matches_einsum():
+    # both parent-row gathers are exact -> bit-identical full searches
+    world = hex.Hex.initial(n_envs=32, boardsize=5)
+    agent = validation.RandomAgent()
+    base = dict(n_nodes=21, leaves_per_pass=4, use_pallas=False,
+                grow_passes=True)
+    t_a = jax.jit(lambda w, k: M.search.mcts(
+        w, agent, k, M.MCTSConfig(gather_mode="take", **base)))(
+        world, jax.random.PRNGKey(9))
+    t_b = jax.jit(lambda w, k: M.search.mcts(
+        w, agent, k, M.MCTSConfig(gather_mode="einsum", **base)))(
+        world, jax.random.PRNGKey(9))
+    np.testing.assert_array_equal(np.asarray(t_a.children), np.asarray(t_b.children))
+    np.testing.assert_array_equal(
+        np.asarray(t_a.logits, np.float32), np.asarray(t_b.logits, np.float32))
+    np.testing.assert_array_equal(np.asarray(t_a.n), np.asarray(t_b.n))
+    np.testing.assert_array_equal(np.asarray(t_a.w), np.asarray(t_b.w))
