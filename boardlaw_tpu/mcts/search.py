@@ -98,16 +98,19 @@ class MCTSConfig:
     # executable spec the prefix path is tested against. K=1 always uses the
     # original per-path backup for bit-parity with the sequential reference.
     backup_mode: str = "prefix"
-    # Multi-leaf leaf-row write routing. 'select': a chain of K masked
-    # selects per field — XLA fuses the chain into ONE stream of the
-    # (B,T,F) tensor with the (K,B,F) payloads rider-read (no one-hot
-    # matmul, no routed val materialization). 'einsum': the round-4 one-hot
-    # contraction form. Both exact; chip A/B decides the default.
-    write_mode: str = "select"
-    # Multi-leaf parent-row world gather. 'einsum': one-hot contraction
-    # streaming each (B,T,F) leaf once for all K. 'take': a batched
-    # take_along_axis of the K parent rows per env (XLA gather op). Both
-    # exact; chip A/B decides the default.
+    # Multi-leaf leaf-row write routing. 'einsum' (default): the one-hot
+    # contraction form. 'select': a chain of K masked selects per field —
+    # bit-identical, but chip-measured ~5% SLOWER end-to-end (0.2335 vs
+    # 0.2218s/search at K=8 16k envs, 0.1998 vs 0.1843 at K=16,
+    # measure_round5.py): the K-deep select chain serializes VPU work along
+    # K where the MXU contraction amortizes it. Kept as an A/B variant.
+    write_mode: str = "einsum"
+    # Multi-leaf parent-row world gather. 'einsum' (default): one-hot
+    # contraction streaming each (B,T,F) leaf once for all K. 'take': a
+    # batched take_along_axis of the K parent rows — bit-identical and a
+    # measured 1.5x LOSS (0.3346 vs 0.2218s/search: the row gather lowers
+    # to ~K full-tensor scans, as the _take_node note predicts). Kept as a
+    # variant so the loss stays documented-by-measurement.
     gather_mode: str = "einsum"
     tree_dtype: object = jnp.float32  # storage dtype for logits
     # Compact tree bookkeeping: int8 child pointers (valid while n_nodes<=127)

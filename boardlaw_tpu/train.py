@@ -89,7 +89,7 @@ class TrainConfig:
     solve_iters: int = 6  # K>1 solve budget (see MCTSConfig)
     grow_passes: bool = False  # triangular multi-leaf passes (see MCTSConfig)
     backup_mode: str = "prefix"  # K>1 backup formulation (see MCTSConfig)
-    write_mode: str = "select"  # K>1 leaf-row write routing (see MCTSConfig)
+    write_mode: str = "einsum"  # K>1 leaf-row write routing (see MCTSConfig)
     gather_mode: str = "einsum"  # K>1 parent-row gather (see MCTSConfig)
     solve_accel: bool = True  # safeguarded-Halley acceleration
     warm_solve: bool = False  # K>1 warm-start (measured net loss, see MCTSConfig)

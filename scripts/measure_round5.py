@@ -49,11 +49,11 @@ def main():
         "prefix-walk1024": dataclasses.replace(base, pallas_walk_envs=1024),
         "prefix-k16-walk512": dataclasses.replace(base, leaves_per_pass=16,
                                                   pallas_walk_envs=512),
-        "prefix-wsel": base,  # write_mode default flipped to 'select'
-        "prefix-weinsum": dataclasses.replace(base, write_mode="einsum"),
-        "prefix-k16-wsel": dataclasses.replace(base, leaves_per_pass=16),
-        "prefix-k16-weinsum": dataclasses.replace(base, leaves_per_pass=16,
-                                                  write_mode="einsum"),
+        "prefix-wsel": dataclasses.replace(base, write_mode="select"),
+        "prefix-weinsum": base,  # einsum writes are the measured default
+        "prefix-k16-wsel": dataclasses.replace(base, leaves_per_pass=16,
+                                               write_mode="select"),
+        "prefix-k16-weinsum": dataclasses.replace(base, leaves_per_pass=16),
         "prefix-k16-gtake": dataclasses.replace(base, leaves_per_pass=16,
                                                 gather_mode="take"),
         "prefix-gtake": dataclasses.replace(base, gather_mode="take"),
