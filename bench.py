@@ -67,10 +67,10 @@ def bench_mcts(n_envs, boardsize, width, depth, n_nodes, reps=3):
         boardsize=boardsize, width=width, depth=depth, n_nodes=n_nodes,
         dtype="bfloat16", tree_dtype="bfloat16",
         # batched multi-leaf search in triangular grow mode with the padded
-        # Pallas walk — the fastest measured chip config
-        # (scripts/measure_round4.py at 16k envs: 0.2435s per 64-node search
-        # = 4.24M sims/s with all round-4 fixes, vs 0.516s for round-3's
-        # scan mode and ~258k sims/s for the reference-exact sequential walk)
+        # Pallas walk and the prefix backup — the fastest PARITY-VALIDATED
+        # chip config (scripts/measure_round5.py at 16k envs: 0.2218s per
+        # 64-node search = 4.65M sims/s; K=16 measures 5.60M but failed the
+        # equal-budget parity study, results/k_parity_k16, and stays off)
         leaves_per_pass=8 if n_nodes > 16 else 1,
         use_pallas=False if n_nodes > 16 else None,
         grow_passes=n_nodes > 16,

@@ -439,8 +439,10 @@ def run(
     binomial band, though a small (few-Elo) tax can't be excluded at that
     sample size (results/k_parity). It is ~10x faster: the flagship 32k-env
     9x9 train step is 0.637s (51.4k samples/s) vs 6.65s at K=1 (round-4
-    numbers, STATUS.md). Pass leaves_per_pass=1 for the reference-exact
-    sequential search. K>1 also defaults to the triangular grow-passes mode
+    numbers, STATUS.md). K=16 searches another ~21% faster but FAILED the
+    equal-budget parity study (42.5% over 2048 games, a 6.76-sigma deficit
+    — results/k_parity_k16) and is deliberately NOT the default. Pass
+    leaves_per_pass=1 for the reference-exact sequential search. K>1 also defaults to the triangular grow-passes mode
     with the padded Pallas walk — distribution-identical to the scan path and
     ~2.1x faster end-to-end (0.2435s vs 0.516s per 64-node search at 16k
     envs, scripts/measure_round4.py).

@@ -10,7 +10,7 @@ to an absolute zero on one boardsize. Also commits the exact 2-ply opening
 labels (the reference's mohex.py:41-58 table, with a true oracle).
 
 Usage:
-    python scripts/anchor_study.py train    # 3x3 run with flops snapshots
+    python scripts/anchor_study.py train    # 3x3 run, 21 time-spaced snapshots
     python scripts/anchor_study.py measure  # league + perfect calibration
     python scripts/anchor_study.py all
 """
@@ -44,11 +44,14 @@ def train(args):
     if run:
         print(f"[anchor3] already trained: {run}", flush=True)
         return run
+    # time storer: the 3x3 width-2 net is ~50 params, so the b3 FLOP
+    # savepoints (1e10..5e11) sit ~1e8 samples out — the 60s log-spaced
+    # time schedule gives 21 snapshots at this board's natural scale
     run = T.run(
         BOARD, WIDTH, DEPTH,
         desc=DESC,
         n_envs=args.envs,
-        storer="flops",
+        storer="time",
         max_steps=args.steps,
         arena=False,
     )
@@ -175,11 +178,17 @@ def measure(args):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("stage", choices=["train", "measure", "all"])
-    p.add_argument("--envs", type=int, default=1024)
-    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--envs", type=int, default=8192)
+    p.add_argument("--steps", type=int, default=5000)
     p.add_argument("--envs-per", type=int, default=64)
     p.add_argument("--perfect-envs", type=int, default=64)
+    p.add_argument("--cpu", action="store_true",
+                   help="pin jax to CPU (run beside a busy chip)")
     args = p.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if args.stage in ("train", "all"):
         train(args)
     if args.stage in ("measure", "all"):
