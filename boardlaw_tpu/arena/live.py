@@ -122,15 +122,16 @@ class RollingArena:
     posterior and choosing the most informative challenger each round
     (reference live/__init__.py:134-168)."""
 
-    def __init__(self, run, n_envs=32, ladder=None):
+    def __init__(self, run, n_envs=32, ladder=None, search_kwargs=None):
         self.run = runs.resolve(run)
         self.n_envs = n_envs
         self.ladder = ladder or rollout_ladder()
+        self.search_kwargs = search_kwargs or {}
         self.soln = None
         self.seed = 0
 
     def play(self, agent=None):
-        agent = agent or common.agent(self.run)
+        agent = agent or common.agent(self.run, **self.search_kwargs)
         if agent is None:
             return None
 
@@ -194,7 +195,12 @@ def _loop(run, interval, ladder="rollout"):
 
     jax.config.update("jax_platforms", "cpu")
     arena = RollingArena(
-        run, ladder=external_ladder() if ladder == "external" else None
+        run, ladder=external_ladder() if ladder == "external" else None,
+        # the child evaluates on CPU beside the training chip: the batched
+        # grow-mode search keeps a 9x9 "latest"-agent move at CPU-tolerable
+        # cost (the sequential K=1 walk is ~10x slower per move)
+        search_kwargs={"leaves_per_pass": 8, "use_pallas": False,
+                       "grow_passes": True},
     )
     # logs.to_run gives the child its own logs.{n}.txt in the run dir, so
     # arena lines are visible to `logs.from_run`/`follow` (reference
