@@ -83,6 +83,13 @@ def measure(args):
         a = common.agent(run, i)
         if a is not None:
             agents[f"snap-{i}"] = a
+    # a random-play baseline row gives the anchor its dynamic range (the
+    # trained 3x3 snapshots converge almost immediately, so without it the
+    # league spans only ~30 Elo and the absolute scale looks flat)
+    from boardlaw_tpu.envs import validation
+
+    _rand = validation.RandomAgent()
+    agents["random"] = lambda world, key, eval=True: _rand(world, key)
     names = list(agents)
     print(f"[anchor3] {len(names)} snapshots: {names}", flush=True)
 
@@ -160,7 +167,7 @@ def measure(args):
         fig, ax = plt.subplots(figsize=(5.5, 4))
         ax.plot(xs, ys, "o-", color="#2468a8")
         for nm, x, y in zip(names, xs, ys):
-            ax.annotate(nm.split("-")[1], (x, y), fontsize=7,
+            ax.annotate(nm.split("-")[-1], (x, y), fontsize=7,
                         textcoords="offset points", xytext=(4, 4))
         ax.axhline(0.5, color="0.6", ls="--", lw=1,
                    label="ceiling vs oracle (0.5)")

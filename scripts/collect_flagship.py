@@ -53,6 +53,36 @@ def main():
         json.dump(summary, f, indent=2)
     print(json.dumps(summary), flush=True)
 
+    # the rising-curve figure (r4 VERDICT #5's actual ask): elo-arena mu
+    # +/- sigma over the run's wall clock
+    if mu_col is not None and series is not None and series.size:
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            import numpy as np
+
+            t = (series.index - series.index[0]).total_seconds() / 3600.0
+            fig, ax = plt.subplots(figsize=(6, 4))
+            ax.plot(t, series.values, "o-", color="#2468a8", label="latest vs ladder")
+            sig_col = next((c for c in arena_cols
+                            if c.endswith("sigma") or c.endswith("std")), None)
+            if sig_col is not None:
+                sig = df[sig_col].reindex(series.index)
+                ax.fill_between(t, series.values - sig.values,
+                                series.values + sig.values,
+                                alpha=0.2, color="#2468a8", label="±σ")
+            ax.axhline(0, color="0.5", ls="--", lw=1)
+            ax.set_xlabel("hours of training")
+            ax.set_ylabel("elo-arena μ (nats vs best external ladder engine)")
+            ax.set_title("9x9 flagship vs external GTP ladder")
+            ax.legend(fontsize=8)
+            ax.grid(alpha=0.3)
+            fig.tight_layout()
+            fig.savefig(f"{OUT}/elo_arena_curve.png", dpi=150)
+        except Exception as e:
+            print(f"[collect] plot skipped: {e}", flush=True)
+
 
 if __name__ == "__main__":
     main()
