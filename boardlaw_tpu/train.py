@@ -442,10 +442,11 @@ def run(
     numbers, STATUS.md). K=16 searches another ~21% faster but FAILED the
     equal-budget parity study (42.5% over 2048 games, a 6.76-sigma deficit
     — results/k_parity_k16) and is deliberately NOT the default. Pass
-    leaves_per_pass=1 for the reference-exact sequential search. K>1 also defaults to the triangular grow-passes mode
-    with the padded Pallas walk — distribution-identical to the scan path and
-    ~2.1x faster end-to-end (0.2435s vs 0.516s per 64-node search at 16k
-    envs, scripts/measure_round4.py).
+    leaves_per_pass=1 for the reference-exact sequential search. K>1 also
+    defaults to the triangular grow-passes mode with the padded Pallas walk
+    and the prefix-sum backup — distribution-identical to the scan path and
+    ~2.3x faster end-to-end (0.2218s vs 0.516s per 64-node search at 16k
+    envs, scripts/measure_round5.py).
     """
     if boardsize >= 7:
         overrides.setdefault("leaves_per_pass", 8)
